@@ -1,0 +1,106 @@
+"""Configuration dataclasses for the framework.
+
+The reference keeps its configuration as module-level UPPERCASE constants in
+its entry scripts (reference train.py:34-49, pretrain_damsm.py:39-46) plus a
+vestigial config.py. Here every phase gets a frozen dataclass whose defaults
+reproduce those constants, and the root-level CLI shims expose them as flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class DamsmConfig:
+    """DAMSM pretraining phase (reference pretrain_damsm.py:39-46)."""
+
+    emb_dim: int = 256          # EMB_DIM: joint word/image embedding width
+    text_emb_dim: int = 300     # nn.Embedding width (reference rnn_encoder.py:38)
+    dropout: float = 0.5        # embedding dropout (reference rnn_encoder.py:39)
+    batch_size: int = 64        # BATCH_SIZE
+    lr: float = 0.002           # LR
+    betas: Tuple[float, float] = (0.5, 0.999)
+    rnn_grad_clip: float = 0.25  # RNN_GRAD_CLIP, clip_grad_norm_ on RNN params only
+    epochs: int = 30
+    # DAMSM attention/loss temperatures (reference words_loss.py:12-17)
+    gamma1: float = 4.0
+    gamma2: float = 5.0
+    gamma3: float = 10.0
+    wlambda: float = 5.0
+    slambda: float = 5.0
+    # TPU-specific knobs (no reference equivalent)
+    compute_dtype: str = "bfloat16"  # trunk/matmul compute dtype
+    cache_region_features: bool = False  # cache frozen-trunk features per image
+    trunk_train_mode_bn: bool = False
+    # ^ the reference accidentally runs the frozen Inception trunk with
+    #   train-mode BatchNorm during DAMSM pretraining (the model is never put
+    #   in eval()); True reproduces that, False (default) uses running stats.
+
+
+@dataclass(frozen=True)
+class GanConfig:
+    """Adversarial training phase (reference train.py:34-49)."""
+
+    gf_dim: int = 32            # GF_DIM generator base width
+    df_dim: int = 64            # DF_DIM discriminator base width
+    emb_dim: int = 256          # EMB_DIM text embedding width
+    cond_dim: int = 100         # COND_DIM conditioning-augmentation width
+    z_dim: int = 100            # Z_DIM noise width
+    seq_len: int = 5            # SEQ_LEN max caption tokens (static shape)
+    batch_size: int = 16        # BATCH_SIZE (global batch, sharded over mesh)
+    gen_lr: float = 2e-4        # GEN_LR
+    disc_lr: float = 2e-4       # DISC_LR
+    betas: Tuple[float, float] = (0.5, 0.999)
+    epochs: int = 150
+    # DAMSM temperatures reused by the G-step DAMSM term (train.py:44-49)
+    gamma1: float = 4.0
+    gamma2: float = 5.0
+    gamma3: float = 10.0
+    wlambda: float = 5.0
+    slambda: float = 5.0
+    num_stages: int = 3         # 1 => 64px only; 2 => +128 attention; 3 => full
+    label_smooth: float = 0.8   # StandardDiscLoss real-label smoothing low bound
+    loss_variant: str = "non_saturating"  # or "standard" (reference disc_loss.py)
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        return (64, 128, 256)[: self.num_stages]
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset/caption pipeline (reference data/bedrooms.py)."""
+
+    rootdir: str = ""
+    max_images: int = 99999
+    captions_path: str = "captionsAndClassIDs.json"
+    max_seqlen: int = 8         # captions padded to this static length
+    # HierarchicalClusterer settings (reference pretrain_damsm.py:55-57)
+    latent_dims: int = 128
+    min_clusters: int = 5
+    max_vocab_size: int = 1000
+    cluster_method: str = "agglomerative_complete"
+    embed_batch_size: int = 32
+    flip_augment: bool = True   # eager horizontally-flipped duplicate of each image
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Process-level knobs shared by every entry point."""
+
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+    image_dir: str = "generated_images"
+    mesh_shape: Tuple[int, ...] = ()  # () => all visible devices on one 'data' axis
+    log_every: int = 50
+    checkpoint_every_epochs: int = 1
+    profile: bool = False
+
+
+def replace(cfg, **kw):
+    """Functional update helper for frozen configs."""
+    return dataclasses.replace(cfg, **kw)

@@ -1,0 +1,18 @@
+from attngan_tpu.data.captions import CaptionHandler
+from attngan_tpu.data.clusterer import HierarchicalClusterer, determine_k_values
+from attngan_tpu.data.dataset import (
+    Dataset,
+    Record,
+    decode_image,
+    preprocess_pyramid,
+    scan_image_paths,
+    word_mask,
+)
+from attngan_tpu.data.synthetic import make_synthetic_dataset
+from attngan_tpu.data.vocab import Vocab
+
+__all__ = [
+    "CaptionHandler", "Dataset", "HierarchicalClusterer", "Record", "Vocab",
+    "decode_image", "determine_k_values", "make_synthetic_dataset",
+    "preprocess_pyramid", "scan_image_paths", "word_mask",
+]

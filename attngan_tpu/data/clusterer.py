@@ -1,0 +1,116 @@
+"""Hierarchical clustering pseudo-caption synthesis.
+
+Reference: data/bedrooms.py:241-304 (HierarchicalClusterer). Captions are
+SYNTHESIZED, not human-written: every image is embedded (frozen ResNet-18,
+TPU forward), optionally reduced to latent_dims, then clustered at an
+ascending ladder of k values (coarse -> fine); each level appends a token
+``k{k}c{c}`` to the image's caption, and the finest clustering assigns the
+class_id used by the DAMSM mismatch masks.
+
+Divergence: the reference reduces with UMAP (bedrooms.py:274-276); umap is
+not installed here, so PCA is the default reducer with UMAP used when
+importable. sklearn's AgglomerativeClustering dropped the ``affinity`` kwarg
+in favor of ``metric`` — handled for both API generations.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from attngan_tpu.data.dataset import Dataset, preprocess_pyramid
+
+
+def determine_k_values(max_vocab_size: int, min_k: int = 5) -> List[int]:
+    """k ladder: max//2, max//4, ... > min_k, ascending (bedrooms.py:291-304)."""
+    ks, factor = [], 2
+    k = max_vocab_size // factor
+    while k > min_k:
+        ks.append(k)
+        factor *= 2
+        k = max_vocab_size // factor
+    return list(reversed(ks))
+
+
+def _make_cluster_labels(x: np.ndarray, k: int, method: str) -> List[str]:
+    from sklearn.cluster import AgglomerativeClustering, KMeans
+
+    if method == "kmeans":
+        clusterer = KMeans(n_clusters=k, n_init=10)
+    elif method in ("agglomerative_single_linkage", "agglomerative_complete"):
+        linkage = "single" if "single" in method else "complete"
+        try:
+            clusterer = AgglomerativeClustering(
+                n_clusters=k, metric="cosine", linkage=linkage
+            )
+        except TypeError:  # older sklearn uses affinity=
+            clusterer = AgglomerativeClustering(
+                n_clusters=k, affinity="cosine", linkage=linkage
+            )
+    else:
+        raise ValueError(f"unknown clustering method {method!r}")
+    labels = clusterer.fit(x).labels_.tolist()
+    return [f"k{k}c{c}" for c in labels]
+
+
+def _reduce_dimensionality(x: np.ndarray, outdims: int) -> np.ndarray:
+    try:
+        from umap import UMAP  # reference reducer (bedrooms.py:274-276)
+
+        return UMAP(n_components=outdims).fit_transform(x)
+    except ImportError:
+        from sklearn.decomposition import PCA
+
+        outdims = min(outdims, min(x.shape))
+        return PCA(n_components=outdims).fit_transform(x)
+
+
+class HierarchicalClusterer:
+    def __init__(self, embedder=None):
+        if embedder is None:
+            from attngan_tpu.models.resnet import ImageEmbedder
+
+            embedder = ImageEmbedder()
+        self.embedder = embedder
+
+    def embed_dataset(self, dataset: Dataset, batch_size: int = 32) -> np.ndarray:
+        """Normalized img256 forward through the frozen embedder on device."""
+        import jax.numpy as jnp
+
+        embs = []
+        recs = dataset.records
+        for start in range(0, len(recs), batch_size):
+            chunk = recs[start : start + batch_size]
+            pixels = np.stack([r.pixels for r in chunk])
+            flip = np.asarray([r.flip for r in chunk], bool)
+            img256 = preprocess_pyramid(jnp.asarray(pixels), jnp.asarray(flip))[256]
+            embs.append(self.embedder.embed(np.asarray(img256), batch_size))
+        return np.concatenate(embs, axis=0)
+
+    def cluster(
+        self,
+        dataset: Dataset,
+        latent_dims: int = 128,
+        max_vocab_size: int = 1000,
+        min_clusters: int = 5,
+        batch_size: int = 32,
+        method: str = "agglomerative_complete",
+        embeddings: Optional[np.ndarray] = None,
+    ) -> None:
+        """In-place: appends caption tokens and assigns class_ids
+        (reference bedrooms.py:248-271)."""
+        if embeddings is None:
+            embeddings = self.embed_dataset(dataset, batch_size)
+        x = embeddings
+        if latent_dims < x.shape[1]:
+            x = _reduce_dimensionality(x, latent_dims)
+        labels = None
+        for k in determine_k_values(max_vocab_size, min_clusters):
+            labels = _make_cluster_labels(x, k, method)
+            for rec, label in zip(dataset.records, labels):
+                rec.caption.append(label)
+        assert labels is not None, "max_vocab_size too small for any k level"
+        id_map = {lab: i for i, lab in enumerate(sorted(set(labels)))}
+        for rec, label in zip(dataset.records, labels):
+            rec.class_id = id_map[label]

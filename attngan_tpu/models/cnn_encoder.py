@@ -1,0 +1,235 @@
+"""Inception-v3 DAMSM image encoder, ported to flax/NHWC.
+
+Reference: networks/cnn_encoder.py:13-102 — a frozen torchvision Inception-v3
+trunk re-wired by hand (:37-54), bilinear-resized 299x299 input INSIDE the
+forward (:75, align_corners=False), a region tap at Mixed_6e (17x17x768,
+:92), and two trainable heads: conv1x1(768 -> out_dim) on regions and
+Linear(2048 -> out_dim) on the pooled global code, both init U(-0.1, 0.1)
+(:56-63). Note the reference feeds [-1, 1] images straight in with NO
+Inception channel renormalization — preserved here.
+
+Module names mirror torchvision's Inception3 state_dict keys
+(Conv2d_1a_3x3.conv, Mixed_5b.branch1x1, ...) so the one-time weight
+converter (tools/convert_torch_weights.py) is a pure key-transpose.
+
+Freezing: the trunk has no notion of requires_grad in JAX — the train steps
+partition the param tree with ``trainable_mask`` below and differentiate
+only the heads, while the GAN phase still backprops THROUGH the trunk into
+the generator's fake images (reference train.py:138-143).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torchvision BasicConv2d BN: eps=0.001, default momentum 0.1
+INCEPTION_BN_EPS = 1e-3
+BN_MOMENTUM = 0.9
+
+
+def _head_init(key, shape):
+    return jax.random.uniform(key, shape, jnp.float32, -0.1, 0.1)
+
+
+class BasicConv2d(nn.Module):
+    """conv(no bias) -> BN(eps=1e-3) -> relu (torchvision BasicConv2d)."""
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    strides: int = 1
+    padding: Tuple[Tuple[int, int], Tuple[int, int]] | int = 0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                    padding=pad, use_bias=False, name="conv", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=INCEPTION_BN_EPS, name="bn", dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def _max_pool3x3s2(x):
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+def _avg_pool3x3s1p1(x):
+    # torch avg_pool2d(3, stride=1, padding=1) counts padded zeros in the mean
+    return nn.avg_pool(x, (3, 3), strides=(1, 1),
+                       padding=((1, 1), (1, 1)), count_include_pad=True)
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1", dtype=d)(x, train)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1", dtype=d)(x, train)
+        b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2", dtype=d)(b5, train)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", dtype=d)(x, train)
+        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2", dtype=d)(b3, train)
+        b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_3", dtype=d)(b3, train)
+        bp = _avg_pool3x3s1p1(x)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool", dtype=d)(bp, train)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        b3 = BasicConv2d(384, (3, 3), strides=2, name="branch3x3", dtype=d)(x, train)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", dtype=d)(x, train)
+        bd = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2", dtype=d)(bd, train)
+        bd = BasicConv2d(96, (3, 3), strides=2, name="branch3x3dbl_3", dtype=d)(bd, train)
+        bp = _max_pool3x3s2(x)
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        c7 = self.channels_7x7
+        p17 = ((0, 0), (3, 3))  # (1,7) kernel padding
+        p71 = ((3, 3), (0, 0))  # (7,1) kernel padding
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1", dtype=d)(x, train)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1", dtype=d)(x, train)
+        b7 = BasicConv2d(c7, (1, 7), padding=p17, name="branch7x7_2", dtype=d)(b7, train)
+        b7 = BasicConv2d(192, (7, 1), padding=p71, name="branch7x7_3", dtype=d)(b7, train)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1", dtype=d)(x, train)
+        bd = BasicConv2d(c7, (7, 1), padding=p71, name="branch7x7dbl_2", dtype=d)(bd, train)
+        bd = BasicConv2d(c7, (1, 7), padding=p17, name="branch7x7dbl_3", dtype=d)(bd, train)
+        bd = BasicConv2d(c7, (7, 1), padding=p71, name="branch7x7dbl_4", dtype=d)(bd, train)
+        bd = BasicConv2d(192, (1, 7), padding=p17, name="branch7x7dbl_5", dtype=d)(bd, train)
+        bp = _avg_pool3x3s1p1(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool", dtype=d)(bp, train)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1", dtype=d)(x, train)
+        b3 = BasicConv2d(320, (3, 3), strides=2, name="branch3x3_2", dtype=d)(b3, train)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1", dtype=d)(x, train)
+        b7 = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)),
+                         name="branch7x7x3_2", dtype=d)(b7, train)
+        b7 = BasicConv2d(192, (7, 1), padding=((3, 3), (0, 0)),
+                         name="branch7x7x3_3", dtype=d)(b7, train)
+        b7 = BasicConv2d(192, (3, 3), strides=2, name="branch7x7x3_4", dtype=d)(b7, train)
+        bp = _max_pool3x3s2(x)
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        p13 = ((0, 0), (1, 1))
+        p31 = ((1, 1), (0, 0))
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1", dtype=d)(x, train)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1", dtype=d)(x, train)
+        b3 = jnp.concatenate([
+            BasicConv2d(384, (1, 3), padding=p13, name="branch3x3_2a", dtype=d)(b3, train),
+            BasicConv2d(384, (3, 1), padding=p31, name="branch3x3_2b", dtype=d)(b3, train),
+        ], axis=-1)
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1", dtype=d)(x, train)
+        bd = BasicConv2d(384, (3, 3), padding=1, name="branch3x3dbl_2", dtype=d)(bd, train)
+        bd = jnp.concatenate([
+            BasicConv2d(384, (1, 3), padding=p13, name="branch3x3dbl_3a", dtype=d)(bd, train),
+            BasicConv2d(384, (3, 1), padding=p31, name="branch3x3dbl_3b", dtype=d)(bd, train),
+        ], axis=-1)
+        bp = _avg_pool3x3s1p1(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool", dtype=d)(bp, train)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3Trunk(nn.Module):
+    """Stem through Mixed_7c, tapping Mixed_6e (reference cnn_encoder.py:76-97).
+
+    Input (B, H, W, 3) in [-1, 1]; internally resized to 299x299 bilinear.
+    Returns (regions (B, 17, 17, 768), pooled (B, 2048)).
+    """
+
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        b = x.shape[0]
+        if x.shape[1] != 299:
+            x = jax.image.resize(x, (b, 299, 299, x.shape[-1]), "bilinear")
+        x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3", dtype=d)(x, train)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", dtype=d)(x, train)
+        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3", dtype=d)(x, train)
+        x = _max_pool3x3s2(x)
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1", dtype=d)(x, train)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3", dtype=d)(x, train)
+        x = _max_pool3x3s2(x)
+        x = InceptionA(32, name="Mixed_5b", dtype=d)(x, train)
+        x = InceptionA(64, name="Mixed_5c", dtype=d)(x, train)
+        x = InceptionA(64, name="Mixed_5d", dtype=d)(x, train)
+        x = InceptionB(name="Mixed_6a", dtype=d)(x, train)
+        x = InceptionC(128, name="Mixed_6b", dtype=d)(x, train)
+        x = InceptionC(160, name="Mixed_6c", dtype=d)(x, train)
+        x = InceptionC(160, name="Mixed_6d", dtype=d)(x, train)
+        x = InceptionC(192, name="Mixed_6e", dtype=d)(x, train)
+        regions = x                                      # (B, 17, 17, 768)
+        x = InceptionD(name="Mixed_7a", dtype=d)(x, train)
+        x = InceptionE(name="Mixed_7b", dtype=d)(x, train)
+        x = InceptionE(name="Mixed_7c", dtype=d)(x, train)
+        pooled = jnp.mean(x, axis=(1, 2))                # avg_pool2d(k=8)
+        return regions, pooled
+
+
+class CNNEncoder(nn.Module):
+    """Trunk + trainable heads (reference CNNEncoder.forward, :65-102).
+
+    Returns (region_features (B, 289, out_dim), cnn_code (B, out_dim)).
+    """
+
+    out_dim: int = 256
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        regions, pooled = InceptionV3Trunk(name="trunk", dtype=self.dtype)(x, train)
+        regions = nn.Conv(self.out_dim, (1, 1), use_bias=False,
+                          kernel_init=_head_init, name="emb_features",
+                          dtype=self.dtype)(regions)
+        cnn_code = nn.Dense(self.out_dim, kernel_init=_head_init,
+                            name="emb_cnn_code", dtype=self.dtype)(pooled)
+        b = regions.shape[0]
+        return regions.reshape(b, -1, self.out_dim).astype(jnp.float32), \
+            cnn_code.astype(jnp.float32)
+
+
+def trainable_mask(params) -> dict:
+    """True for head params (emb_features / emb_cnn_code), False for the
+    frozen trunk — feed to optax.masked / train-step param partitioning."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {k: (k[0] in ("emb_features", "emb_cnn_code")) for k in flat}
+    return flax.traverse_util.unflatten_dict(mask)

@@ -1,0 +1,122 @@
+"""Bidirectional-LSTM text encoder (TPU-native RNNEncoder).
+
+Reference: networks/rnn_encoder.py:12-96 — nn.Embedding(vocab, 300) with
+U(-0.1, 0.1) init, dropout(0.5), and a 1-layer bidirectional cuDNN LSTM over
+pack_padded_sequence'd captions. Word embeddings are the per-step outputs
+(zero at padded steps), the sentence embedding is the concat of each
+direction's final hidden state.
+
+Here the packed/ragged machinery is replaced by static-shape ``lax.scan``
+with a length mask — the idiomatic XLA form:
+
+* the input projection of every timestep is hoisted into ONE large matmul
+  (B*L, E) @ (E, 4H) so the MXU sees a single big contraction; the scan body
+  only does the small (B, H) @ (H, 4H) recurrent matmul;
+* at padded steps the carry is frozen (``where(t < length, new, old)``) and
+  the step output is zeroed, which reproduces pack_padded_sequence semantics
+  exactly: the backward direction consumes padding first (frozen zero carry)
+  and finishes at t=0, so its final hidden equals torch's.
+
+Gate order and cell math follow the LSTM convention torch uses
+(i, f, g, o; c' = f*c + i*g; h' = o*tanh(c')) so converted weights verify.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _lstm_scan(
+    x_proj: jax.Array,    # (L, B, 4H) precomputed input projection + biases
+    w_hh: jax.Array,      # (H, 4H)
+    lengths: jax.Array,   # (B,) int32 valid lengths
+    reverse: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """One direction. Returns (outputs (L, B, H), final hidden (B, H))."""
+    seq_len, batch, four_h = x_proj.shape
+    hidden = four_h // 4
+
+    time = jnp.arange(seq_len, dtype=jnp.int32)
+    if reverse:
+        time = time[::-1]
+        x_proj = x_proj[::-1]
+
+    def step(carry, inp):
+        h, c = carry
+        t, xp = inp
+        gates = xp + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        valid = (t < lengths)[:, None]
+        h = jnp.where(valid, h_new, h)
+        c = jnp.where(valid, c_new, c)
+        y = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+        return (h, c), y
+
+    init = (
+        jnp.zeros((batch, hidden), x_proj.dtype),
+        jnp.zeros((batch, hidden), x_proj.dtype),
+    )
+    (h_final, _), ys = jax.lax.scan(step, init, (time, x_proj))
+    if reverse:
+        ys = ys[::-1]
+    return ys, h_final
+
+
+class BiLSTMEncoder(nn.Module):
+    """Text encoder: captions (B, L) int32 + lengths (B,) ->
+    (word_embs (B, L, hidden_dim), sent_embs (B, hidden_dim)).
+
+    ``hidden_dim`` is the TOTAL width; each direction gets hidden_dim // 2
+    (reference rnn_encoder.py:30).
+    """
+
+    vocab_size: int
+    emb_dim: int = 300
+    hidden_dim: int = 256
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        captions: jax.Array,       # (B, L) int32 token ids
+        lengths: jax.Array,        # (B,) int32
+        train: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        assert self.hidden_dim % 2 == 0
+        h = self.hidden_dim // 2
+
+        embedding = self.param(
+            "embedding",
+            lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -0.1, 0.1),
+            (self.vocab_size, self.emb_dim),
+        )
+        x = jnp.take(embedding, captions, axis=0)          # (B, L, E)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        # torch LSTM init: U(-1/sqrt(H), 1/sqrt(H)) for every weight/bias.
+        bound = 1.0 / jnp.sqrt(jnp.asarray(h, jnp.float32))
+        uinit = lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+        outs, finals = [], []
+        for direction, reverse in (("fwd", False), ("bwd", True)):
+            w_ih = self.param(f"w_ih_{direction}", uinit, (self.emb_dim, 4 * h))
+            w_hh = self.param(f"w_hh_{direction}", uinit, (h, 4 * h))
+            b = self.param(f"b_{direction}", uinit, (4 * h,))
+            # Hoist the input projection out of the scan: one MXU matmul.
+            xp = (
+                jnp.einsum("ble,ef->blf", x, w_ih, preferred_element_type=jnp.float32)
+                + b
+            ).transpose(1, 0, 2)                           # (L, B, 4H)
+            ys, h_final = _lstm_scan(xp, w_hh, lengths.astype(jnp.int32), reverse)
+            outs.append(ys)
+            finals.append(h_final)
+
+        word_embs = jnp.concatenate(outs, axis=-1).transpose(1, 0, 2)  # (B, L, 2H)
+        sent_embs = jnp.concatenate(finals, axis=-1)                   # (B, 2H)
+        return word_embs, sent_embs

@@ -1,0 +1,193 @@
+"""Reusable conv/norm blocks — the TPU-native equivalent of the reference's
+``Layers`` static factory (reference utilities/layers.py:8-176).
+
+All modules are flax.linen, NHWC layout (TPU-native; XLA tiles NHWC convs
+onto the MXU directly). BatchNorm carries explicit state in the
+``batch_stats`` collection; ``train=True`` uses batch statistics and updates
+the running averages (torch train-mode semantics), ``train=False`` uses the
+running averages (torch eval()).
+
+Mapping to the reference factory:
+  GLU                      -> glu / GLU           (layers.py:13-26)
+  conv1x1 / conv3x3        -> conv1x1 / conv3x3   (layers.py:45-58)
+  conv4x4DownSpatial       -> conv4x4_down        (layers.py:55-58)
+  upBlock                  -> UpBlock             (layers.py:60-69)
+  upBlockReLU              -> UpBlockReLU         (layers.py:71-80)
+  downBlock                -> DownBlock           (layers.py:115-126)
+  downBlockLeakyReLU       -> DownBlockLeakyReLU  (layers.py:82-90)
+  Block3x3_relu            -> Block3x3Relu        (layers.py:92-101)
+  Block3x3_leakRelu        -> Block3x3LeakyRelu   (layers.py:103-113)
+  encode_image_by_16times  -> ImageEncoder16x     (layers.py:128-154)
+  ResBlock                 -> ResBlock            (layers.py:156-176)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch BatchNorm2d defaults: eps=1e-5, momentum=0.1 (new-stat weight).
+# flax momentum is the *retain* factor, so 0.9 == torch 0.1.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def glu(x: jax.Array) -> jax.Array:
+    """Gated linear unit over the trailing (channel) axis: halves channels.
+
+    Reference layers.py:13-26 splits dim 1 of NCHW; here the channel axis is
+    last (NHWC / (B, F)).
+    """
+    nc = x.shape[-1]
+    assert nc % 2 == 0, "GLU needs an even channel count"
+    a, b = jnp.split(x, 2, axis=-1)
+    return a * jax.nn.sigmoid(b)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x spatial upsample for NHWC, matching
+    nn.Upsample(scale_factor=2, mode='nearest')."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def conv1x1(features: int, use_bias: bool = False, name=None, dtype=None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=1, padding=0, use_bias=use_bias,
+                   name=name, dtype=dtype)
+
+
+def conv3x3(features: int, use_bias: bool = False, name=None, dtype=None) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=1, padding=1, use_bias=use_bias,
+                   name=name, dtype=dtype)
+
+
+def conv4x4_down(features: int, use_bias: bool = True, name=None, dtype=None) -> nn.Conv:
+    """4x4 stride-2 conv, halves H/W (reference conv4x4DownSpatial)."""
+    return nn.Conv(features, (4, 4), strides=2, padding=1, use_bias=use_bias,
+                   name=name, dtype=dtype)
+
+
+def batch_norm(train: bool, name=None, dtype=None) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS, name=name, dtype=dtype)
+
+
+class UpBlock(nn.Module):
+    """2x nearest upsample -> conv3x3(out*2) -> BN -> GLU (layers.py:60-69)."""
+
+    out_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = upsample_nearest_2x(x)
+        x = conv3x3(self.out_features * 2, dtype=self.dtype)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
+        return glu(x)
+
+
+class UpBlockReLU(nn.Module):
+    """2x nearest upsample -> conv3x3 -> BN -> ReLU (layers.py:71-80)."""
+
+    out_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = upsample_nearest_2x(x)
+        x = conv3x3(self.out_features, dtype=self.dtype)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class DownBlock(nn.Module):
+    """conv4x4 stride2 (no bias) -> BN -> LeakyReLU(0.2) (layers.py:115-126)."""
+
+    out_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = conv4x4_down(self.out_features, use_bias=False, dtype=self.dtype)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
+        return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class DownBlockLeakyReLU(nn.Module):
+    """conv4x4 stride2 (bias) -> BN -> LeakyReLU(0.2) (layers.py:82-90)."""
+
+    out_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = conv4x4_down(self.out_features, use_bias=True, dtype=self.dtype)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
+        return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class Block3x3Relu(nn.Module):
+    """conv3x3(out*2) -> BN -> GLU, same spatial size (layers.py:92-101)."""
+
+    out_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = conv3x3(self.out_features * 2, dtype=self.dtype)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
+        return glu(x)
+
+
+class Block3x3LeakyRelu(nn.Module):
+    """conv3x3 -> BN -> LeakyReLU(0.2), same spatial size (layers.py:103-113)."""
+
+    out_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = conv3x3(self.out_features, dtype=self.dtype)(x)
+        x = batch_norm(train, dtype=self.dtype)(x)
+        return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class ImageEncoder16x(nn.Module):
+    """4 stride-2 4x4 convs: (B,H,W,3) -> (B,H/16,W/16,8*df).
+
+    First conv has no BN; the rest are conv->BN->LeakyReLU
+    (reference encode_image_by_16times, layers.py:128-154).
+    """
+
+    df_dim: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        df = self.df_dim
+        x = conv4x4_down(df, use_bias=False, dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        for mult in (2, 4, 8):
+            x = conv4x4_down(df * mult, use_bias=False, dtype=self.dtype)(x)
+            x = batch_norm(train, dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+        return x
+
+
+class ResBlock(nn.Module):
+    """conv3x3(c*2)->BN->GLU->conv3x3(c)->BN + skip (layers.py:156-176)."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        residual = x
+        y = conv3x3(self.features * 2, dtype=self.dtype)(x)
+        y = batch_norm(train, dtype=self.dtype)(y)
+        y = glu(y)
+        y = conv3x3(self.features, dtype=self.dtype)(y)
+        y = batch_norm(train, dtype=self.dtype)(y)
+        return y + residual
