@@ -33,6 +33,7 @@ class DamsmConfig:
     slambda: float = 5.0
     # TPU-specific knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"  # trunk/matmul compute dtype
+    image_encoder: str = "inception_v3"  # or "tiny" (tests/cheap runs)
     cache_region_features: bool = False  # cache frozen-trunk features per image
     trunk_train_mode_bn: bool = False
     # ^ the reference accidentally runs the frozen Inception trunk with
@@ -65,6 +66,7 @@ class GanConfig:
     label_smooth: float = 0.8   # StandardDiscLoss real-label smoothing low bound
     loss_variant: str = "non_saturating"  # or "standard" (reference disc_loss.py)
     compute_dtype: str = "bfloat16"
+    image_encoder: str = "inception_v3"  # DAMSM-coupling encoder; or "tiny"
 
     @property
     def resolutions(self) -> Tuple[int, ...]:

@@ -64,7 +64,7 @@ def preprocess_pyramid(images_u8: jax.Array, flip: jax.Array):
     """
     x = images_u8.astype(jnp.float32) / 255.0
     x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-    x = (x - 0.5) / 0.5
+    x = jnp.clip((x - 0.5) / 0.5, -1.0, 1.0)  # guard fp32 rounding past 1.0
     b = x.shape[0]
     out = {256: x}
     for res in (128, 64):

@@ -1,0 +1,74 @@
+"""Batched text -> image inference.
+
+Reference: test.py:77-87 (GanTester.generate_images) — preprocess captions,
+embed with the frozen RNN, run the full generator cascade, denormalize the
+final 256x256 images. Here the whole device path (text encoder + generator
++ denormalize) is ONE jit-compiled function, shardable over the mesh's
+'data' axis for multi-chip throughput (the BASELINE north-star config).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attngan_tpu.core.config import GanConfig
+from attngan_tpu.data.captions import CaptionHandler
+from attngan_tpu.data.dataset import word_mask
+from attngan_tpu.train.gan_trainer import GanState, GanTrainer
+
+
+def denormalize(images: jax.Array) -> jax.Array:
+    """[-1, 1] -> [0, 1] (reference trainer.py:37-43)."""
+    return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
+
+
+class Sampler:
+    def __init__(self, trainer: GanTrainer, state: GanState,
+                 caption_handler: Optional[CaptionHandler] = None):
+        self.trainer = trainer
+        self.state = state
+        self.caption_handler = caption_handler
+        self._sample_fn = jax.jit(
+            functools.partial(_sample, trainer),
+            static_argnames=("return_all_stages",),
+        )
+
+    def generate_from_captions(
+        self, captions: List[List[str]], seed: int = 0
+    ) -> np.ndarray:
+        """Tokenize + embed + generate; returns (N, 256, 256, 3) in [0, 1]."""
+        assert self.caption_handler is not None, "needs a CaptionHandler"
+        tokens, lengths = self.caption_handler.preprocess(
+            captions, max_seqlen=self.trainer.cfg.seq_len
+        )
+        imgs = self._sample_fn(
+            self.state, jnp.asarray(tokens), jnp.asarray(lengths),
+            jax.random.key(seed),
+        )
+        return np.asarray(imgs)
+
+    def generate_from_tokens(self, tokens, lengths, key) -> jax.Array:
+        return self._sample_fn(self.state, tokens, lengths, key)
+
+
+def _sample(trainer: GanTrainer, state: GanState, tokens, lengths, key,
+            return_all_stages: bool = False):
+    cfg = trainer.cfg
+    k_noise, k_reparam = jax.random.split(key)
+    word_embs, sent_embs = trainer.rnn.apply(
+        {"params": state.rnn_params}, tokens, lengths, train=False
+    )
+    mask = word_mask(lengths, cfg.seq_len)
+    noise = jax.random.normal(k_noise, (tokens.shape[0], cfg.z_dim))
+    fakes, _, _, _ = trainer.generator.apply(
+        {"params": state.gen_params, "batch_stats": state.gen_stats},
+        noise, sent_embs, word_embs, mask, k_reparam, train=False,
+    )
+    if return_all_stages:
+        return [denormalize(f) for f in fakes]
+    return denormalize(fakes[-1])

@@ -65,8 +65,21 @@ def words_loss(
     gamma2: float = 5.0,
     gamma3: float = 10.0,
     wlambda: float = 5.0,
+    fused: Optional[bool] = None,     # None = Pallas kernel on TPU
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scalar loss, diagonal attention maps (B, L, R))."""
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    if fused:
+        from attngan_tpu.ops.pallas_damsm import words_loss_pallas
+
+        loss = words_loss_pallas(img_features, words_emb, labels, word_mask,
+                                 class_ids, gamma1, gamma2, gamma3, wlambda)
+        # diagonal (matched-pair) attention maps, B cheap pairs only
+        _, diag_attn = damsm_attention(words_emb, img_features, gamma1,
+                                       mask=word_mask)
+        return loss, diag_attn
+
     batch = img_features.shape[0]
     wm = word_mask.astype(jnp.float32)
 

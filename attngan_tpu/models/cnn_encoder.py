@@ -26,13 +26,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from attngan_tpu.ops.layers import TorchBatchNorm
+
 # torchvision BasicConv2d BN: eps=0.001, default momentum 0.1
 INCEPTION_BN_EPS = 1e-3
 BN_MOMENTUM = 0.9
 
 
-def _head_init(key, shape):
-    return jax.random.uniform(key, shape, jnp.float32, -0.1, 0.1)
+def _head_init(key, shape, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -0.1, 0.1)
 
 
 class BasicConv2d(nn.Module):
@@ -51,8 +53,9 @@ class BasicConv2d(nn.Module):
             pad = ((pad, pad), (pad, pad))
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding=pad, use_bias=False, name="conv", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=INCEPTION_BN_EPS, name="bn", dtype=self.dtype)(x)
+        x = TorchBatchNorm(use_running_average=not train,
+                           momentum=BN_MOMENTUM, epsilon=INCEPTION_BN_EPS,
+                           name="bn", dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -223,6 +226,61 @@ class CNNEncoder(nn.Module):
         b = regions.shape[0]
         return regions.reshape(b, -1, self.out_dim).astype(jnp.float32), \
             cnn_code.astype(jnp.float32)
+
+
+class TinyCNNEncoder(nn.Module):
+    """Drop-in small image encoder with the CNNEncoder interface.
+
+    No reference equivalent — a test/dev encoder (and a deliberately cheap
+    production option) producing the same (regions (B, 289, out_dim),
+    cnn_code (B, out_dim)) contract without the Inception trunk. Param
+    layout mirrors CNNEncoder: a 'trunk' scope plus trainable
+    'emb_features' / 'emb_cnn_code' heads, so trainers treat both
+    identically.
+    """
+
+    out_dim: int = 256
+    width: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        class _Trunk(nn.Module):
+            width: int
+            dtype: jnp.dtype | None
+
+            @nn.compact
+            def __call__(self, x, train: bool):
+                b = x.shape[0]
+                x = jax.image.resize(x, (b, 68, 68, x.shape[-1]), "bilinear")
+                w = self.width
+                x = nn.relu(nn.Conv(w, (3, 3), strides=2, padding=1,
+                                    dtype=self.dtype)(x))       # 34x34
+                x = nn.relu(nn.Conv(w * 2, (3, 3), strides=2, padding=1,
+                                    dtype=self.dtype)(x))       # 17x17
+                regions = nn.relu(nn.Conv(w * 2, (3, 3), padding=1,
+                                          dtype=self.dtype)(x))
+                pooled = jnp.mean(regions, axis=(1, 2))
+                return regions, pooled
+
+        regions, pooled = _Trunk(self.width, self.dtype, name="trunk")(x, train)
+        regions = nn.Conv(self.out_dim, (1, 1), use_bias=False,
+                          kernel_init=_head_init, name="emb_features",
+                          dtype=self.dtype)(regions)
+        cnn_code = nn.Dense(self.out_dim, kernel_init=_head_init,
+                            name="emb_cnn_code", dtype=self.dtype)(pooled)
+        b = regions.shape[0]
+        return regions.reshape(b, -1, self.out_dim).astype(jnp.float32), \
+            cnn_code.astype(jnp.float32)
+
+
+def make_image_encoder(name: str, out_dim: int, dtype=None):
+    """Encoder registry: 'inception_v3' (reference-parity) or 'tiny'."""
+    if name == "inception_v3":
+        return CNNEncoder(out_dim=out_dim, dtype=dtype)
+    if name == "tiny":
+        return TinyCNNEncoder(out_dim=out_dim, dtype=dtype)
+    raise ValueError(f"unknown image encoder {name!r}")
 
 
 def trainable_mask(params) -> dict:

@@ -79,6 +79,7 @@ class NextStage(nn.Module):
     gf_dim: int
     num_residual: int = 2
     dtype: jnp.dtype | None = None
+    fused_attention: bool = True  # route through the Pallas kernel on TPU
 
     @nn.compact
     def __call__(self, images, word_embs, mask, train: bool = True):
@@ -86,7 +87,12 @@ class NextStage(nn.Module):
         words_p = conv1x1(self.gf_dim, name="word_proj", dtype=self.dtype)(
             word_embs[:, None, :, :]
         )[:, 0]                                      # (B, L, gf)
-        context, attn = word_attention(images, words_p, mask, scaled=True)
+        if self.fused_attention:
+            from attngan_tpu.ops.pallas_attention import word_attention_auto
+
+            context, attn = word_attention_auto(images, words_p, mask)
+        else:
+            context, attn = word_attention(images, words_p, mask, scaled=True)
         x = jnp.concatenate([images, context], axis=-1)   # (B, h, w, 2*gf)
         for _ in range(self.num_residual):
             x = ResBlock(self.gf_dim * 2, dtype=self.dtype)(x, train=train)
@@ -118,6 +124,7 @@ class Generator(nn.Module):
     cond_dim: int = 100
     num_stages: int = 3           # 1=64px, 2=+128, 3=+256
     dtype: jnp.dtype | None = None
+    fused_attention: bool = True
 
     @nn.compact
     def __call__(
@@ -140,7 +147,9 @@ class Generator(nn.Module):
         fake_imgs.append(MakeImage(dtype=self.dtype, name="img_out1")(x))
 
         for stage in range(2, self.num_stages + 1):
-            x, attn = NextStage(self.gf_dim, dtype=self.dtype, name=f"gen{stage}")(
+            x, attn = NextStage(self.gf_dim, dtype=self.dtype,
+                                fused_attention=self.fused_attention,
+                                name=f"gen{stage}")(
                 x, word_embs, mask, train=train
             )
             fake_imgs.append(

@@ -14,13 +14,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from attngan_tpu.ops.layers import TorchBatchNorm
+
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.9
 
 
 def _bn(name, train, dtype=None):
-    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, name=name, dtype=dtype)
+    return TorchBatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          epsilon=BN_EPS, name=name, dtype=dtype)
 
 
 class BasicBlock(nn.Module):

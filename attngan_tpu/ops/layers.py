@@ -69,9 +69,57 @@ def conv4x4_down(features: int, use_bias: bool = True, name=None, dtype=None) ->
                    name=name, dtype=dtype)
 
 
-def batch_norm(train: bool, name=None, dtype=None) -> nn.BatchNorm:
-    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, name=name, dtype=dtype)
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact stat semantics.
+
+    flax's nn.BatchNorm stores the BIASED batch variance in its running
+    average; torch normalizes with the biased variance in train mode but
+    accumulates the UNBIASED (n/(n-1)) variance into running_var. The
+    difference (~n/(n-1)) matters when importing/exporting torch weights and
+    for eval-mode parity, so this module reproduces torch exactly. Stats and
+    normalization are computed in fp32 regardless of compute dtype.
+    """
+
+    use_running_average: bool
+    momentum: float = BN_MOMENTUM       # retain factor (torch 1 - 0.1)
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean.reshape(
+                (1,) * (x.ndim - 1) + (-1,))), axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for dim in x.shape[:-1]:
+                    n *= dim
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        shape = (1,) * (x.ndim - 1) + (-1,)
+        y = (xf - mean.reshape(shape)) * jax.lax.rsqrt(
+            var.reshape(shape) + self.epsilon)
+        y = y * scale.reshape(shape) + bias.reshape(shape)
+        return y.astype(x.dtype if self.dtype is None else self.dtype)
+
+
+def batch_norm(train: bool, name=None, dtype=None) -> TorchBatchNorm:
+    return TorchBatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          epsilon=BN_EPS, name=name, dtype=dtype)
 
 
 class UpBlock(nn.Module):

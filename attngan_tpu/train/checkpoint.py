@@ -1,0 +1,47 @@
+"""Orbax checkpointing of whole train-state pytrees.
+
+Reference: trainers/trainer.py:109-127 — per-module ``torch.save`` pickles
+keyed by CLASS NAME, which silently collides for the four Adam optimizers
+(all save to saved_weights/Adam.pkl, SURVEY.md §3.2) and never records the
+step counter. Here the ENTIRE state (params + every optimizer state + step
++ PRNG key) is one orbax checkpoint, so resume is exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+from flax import serialization
+
+
+def save_checkpoint(directory: str, state: Any, step: int) -> str:
+    directory = os.path.abspath(directory)
+    path = os.path.join(directory, f"step_{step:08d}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)  # overwrite same-step re-runs
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(d for d in os.listdir(directory) if d.startswith("step_"))
+    return os.path.join(directory, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore into the structure of ``target`` (an abstract or concrete
+    state pytree from the trainer's init)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target=jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, target))
+
+
+def load_converted(path: str) -> dict:
+    """Load a tools/convert_torch_weights.py msgpack variables dict."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())

@@ -33,7 +33,7 @@ from flax import struct
 from attngan_tpu.core.config import DamsmConfig
 from attngan_tpu.data.dataset import word_mask
 from attngan_tpu.losses.damsm import damsm_loss
-from attngan_tpu.models.cnn_encoder import CNNEncoder
+from attngan_tpu.models.cnn_encoder import make_image_encoder
 from attngan_tpu.models.rnn_encoder import BiLSTMEncoder
 
 
@@ -68,7 +68,7 @@ class DamsmTrainer:
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         self.rnn = BiLSTMEncoder(vocab_size=vocab_size, emb_dim=cfg.text_emb_dim,
                                  hidden_dim=cfg.emb_dim, dropout=cfg.dropout)
-        self.cnn = CNNEncoder(out_dim=cfg.emb_dim, dtype=dtype)
+        self.cnn = make_image_encoder(cfg.image_encoder, cfg.emb_dim, dtype)
         # Reference: one Adam over RNN params + trainable CNN heads
         # (pretrain_damsm.py:66-73); RNN grads clipped to 0.25 (:132).
         self.optimizer = optax.adam(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1])
@@ -88,7 +88,7 @@ class DamsmTrainer:
         img = jnp.zeros((2, self.image_res, self.image_res, 3), jnp.float32)
         cnn_vars = self.cnn.init(k_cnn, img, train=False)
         cnn_params = cnn_vars["params"]
-        cnn_stats = cnn_vars["batch_stats"]
+        cnn_stats = cnn_vars.get("batch_stats", {})
         if pretrained_cnn is not None:  # converted torchvision trunk
             cnn_params = {**cnn_params, "trunk": pretrained_cnn["params"]}
             cnn_stats = {"trunk": pretrained_cnn["batch_stats"]}

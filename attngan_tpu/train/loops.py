@@ -1,0 +1,157 @@
+"""Host-side epoch loops for both training phases.
+
+Reference: the notebook-style loops in pretrain_damsm.py:110-138 and
+train.py:103-162. Same responsibilities — degenerate-batch skipping,
+per-epoch checkpointing, loss plots, fixed-noise sample grids — but with
+real checkpoints (orbax, whole state) and metrics from inside the jit
+region. Batches are sharded over the data mesh axis before each step.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attngan_tpu.core.config import DamsmConfig, GanConfig, RunConfig
+from attngan_tpu.data.dataset import Dataset
+from attngan_tpu.infer.sampler import denormalize
+from attngan_tpu.parallel import make_mesh, replicate, shard_batch
+from attngan_tpu.train.checkpoint import save_checkpoint
+from attngan_tpu.train.damsm_trainer import DamsmState, DamsmTrainer
+from attngan_tpu.train.gan_trainer import GanState, GanTrainer
+from attngan_tpu.utils.imaging import plot_history, save_image_grids
+from attngan_tpu.utils.timing import StepTimer
+
+
+def _skip_batch(host_batch, batch_size: int) -> bool:
+    """min(len) < 2 or ragged (reference train.py:112-113)."""
+    return (host_batch["lengths"].min() < 2
+            or host_batch["tokens"].shape[0] < batch_size)
+
+
+def run_damsm_training(
+    cfg: DamsmConfig,
+    run_cfg: RunConfig,
+    dataset: Dataset,
+    state: Optional[DamsmState] = None,
+    trainer: Optional[DamsmTrainer] = None,
+    pretrained_cnn: Optional[dict] = None,
+):
+    dataset.build_vocab()
+    seq_len = max(dataset.max_seqlen, 1)
+    if trainer is None:
+        trainer = DamsmTrainer(cfg, vocab_size=dataset.vocab.n_words,
+                               seq_len=seq_len)
+    if state is None:
+        state = trainer.init_state(run_cfg.seed, pretrained_cnn=pretrained_cnn)
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
+    history = []
+    timer = StepTimer()
+    for epoch in range(1, cfg.epochs + 1):
+        for host_batch in dataset.iter_batches(cfg.batch_size, seq_len,
+                                               seed=run_cfg.seed + epoch):
+            if _skip_batch(host_batch, cfg.batch_size):
+                continue
+            device_batch = dataset.device_batch(host_batch)
+            batch = shard_batch(
+                {k: device_batch[k]
+                 for k in ("tokens", "lengths", "class_ids", "img256")}, mesh)
+            state, metrics = trainer.train_step(state, batch)
+            timer.tick()
+            history.append(float(metrics["loss"]))
+            if len(history) % run_cfg.log_every == 0:
+                print(f"epoch {epoch} step {len(history)} "
+                      f"loss {history[-1]:.3f} "
+                      f"({timer.steps_per_sec:.2f} steps/s)")
+        if epoch % run_cfg.checkpoint_every_epochs == 0:
+            save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "damsm"),
+                            jax.device_get(state), int(state.step))
+            if history:
+                plot_history(history,
+                             os.path.join(run_cfg.image_dir,
+                                          f"epoch_{epoch}-damsm_loss.png"))
+        print(f"===== epoch {epoch} done; mean loss "
+              f"{np.mean(history[-100:]) if history else float('nan'):.3f} =====")
+    return trainer, state, history
+
+
+def run_gan_training(
+    cfg: GanConfig,
+    run_cfg: RunConfig,
+    dataset: Dataset,
+    state: Optional[GanState] = None,
+    trainer: Optional[GanTrainer] = None,
+    rnn_params=None,
+    cnn_variables=None,
+):
+    dataset.build_vocab()
+    if trainer is None:
+        trainer = GanTrainer(cfg, vocab_size=dataset.vocab.n_words)
+    if state is None:
+        state = trainer.init_state(run_cfg.seed, rnn_params=rnn_params,
+                                   cnn_variables=cnn_variables)
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
+    losses: Dict[str, list] = defaultdict(list)
+    fixed_noise = jax.random.normal(jax.random.key(run_cfg.seed),
+                                    (cfg.batch_size, cfg.z_dim))
+    last_embed = None
+    timer = StepTimer()
+    step_count = 0
+    image_keys = [f"img{res}" for res in cfg.resolutions]
+    for epoch in range(1, cfg.epochs + 1):
+        for host_batch in dataset.iter_batches(cfg.batch_size, cfg.seq_len,
+                                               seed=run_cfg.seed + epoch):
+            if _skip_batch(host_batch, cfg.batch_size):
+                continue
+            device_batch = dataset.device_batch(host_batch)
+            batch = shard_batch(
+                {k: device_batch[k]
+                 for k in ("tokens", "lengths", "class_ids", *image_keys)},
+                mesh)
+            last_embed = (batch["tokens"], batch["lengths"])
+            state, metrics = trainer.train_step(state, batch)
+            timer.tick()
+            step_count += 1
+            for key, val in metrics.items():
+                losses[key].append(float(val))
+            if step_count % run_cfg.log_every == 0:
+                head = {k: round(v[-1], 3) for k, v in losses.items()}
+                print(f"epoch {epoch} step {step_count} {head} "
+                      f"({timer.steps_per_sec:.2f} steps/s)")
+        # per-epoch snapshot (reference train.py:154-162)
+        if epoch % run_cfg.checkpoint_every_epochs == 0:
+            save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "gan"),
+                            jax.device_get(state), int(state.step))
+            if last_embed is not None:
+                _sample_grid(trainer, state, last_embed, fixed_noise,
+                             epoch, run_cfg, mesh)
+            for name in ("g_total", f"d_loss_{cfg.resolutions[-1]}"):
+                if losses.get(name):
+                    plot_history(losses[name],
+                                 os.path.join(run_cfg.image_dir,
+                                              f"epoch_{epoch}-{name}.png"))
+        print(f"===== epoch {epoch} done =====")
+    return trainer, state, dict(losses)
+
+
+def _sample_grid(trainer, state, last_embed, fixed_noise, epoch, run_cfg, mesh):
+    """Fixed-noise evaluation grid, like reference train.py:154-158."""
+    tokens, lengths = last_embed
+    from attngan_tpu.data.dataset import word_mask
+
+    word_embs, sent_embs = trainer.embed_text(state, tokens, lengths)
+    mask = word_mask(lengths, trainer.cfg.seq_len)
+    fakes, _, _, _ = trainer.generate(
+        state, fixed_noise, sent_embs, word_embs, mask,
+        jax.random.key(run_cfg.seed))
+    fakes = [np.asarray(denormalize(f)) for f in fakes]
+    save_image_grids(fakes, epoch, run_cfg.image_dir)

@@ -1,0 +1,68 @@
+"""Profiling/observability.
+
+Reference: utilities/decorators.py:5-14 — a wall-clock ``@timer`` print was
+the entire observability stack. Under jit a Python timer measures dispatch,
+not compute, so this module provides block-on-result timing helpers and a
+jax.profiler trace context (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+
+
+def block(tree: Any) -> Any:
+    """Block until every array in the pytree is ready (d2h sync point)."""
+    return jax.block_until_ready(tree)
+
+
+def timer(fn: Callable) -> Callable:
+    """Wall-clock a host function, blocking on its device results
+    (the honest version of reference utilities/decorators.py:5-14)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        start = time.perf_counter()
+        out = block(fn(*args, **kwargs))
+        print(f"[timer] {fn.__name__}: {time.perf_counter() - start:.3f}s")
+        return out
+
+    return wrapped
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str, enabled: bool = True):
+    """jax.profiler trace context; view with tensorboard/xprof."""
+    if not enabled:
+        yield
+        return
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling steps/sec with an initial warmup skip (compile step)."""
+
+    def __init__(self, warmup: int = 1):
+        self.warmup = warmup
+        self.count = -warmup
+        self.start = None
+
+    def tick(self) -> None:
+        self.count += 1
+        if self.count == 0:
+            self.start = time.perf_counter()
+
+    @property
+    def steps_per_sec(self) -> float:
+        if self.count <= 0 or self.start is None:
+            return 0.0
+        return self.count / (time.perf_counter() - self.start)

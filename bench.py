@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Headline benchmark: 256x256 text->image sampling throughput per chip.
+
+BASELINE.md north star: >= 2,000 generated 256px images/sec on a v5e-8, i.e.
+>= 250 img/s/chip ("vs_baseline" is measured against the per-chip share).
+Runs the flagship full 3-stage generator (reference dims: gf=32, emb=256,
+z=100, cond=100) end to end: BiLSTM text encoding + cascade + denormalize,
+all inside one jit, bf16 compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+PER_CHIP_BASELINE = 250.0  # 2000 img/s on v5e-8 / 8 chips
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from attngan_tpu.core.config import GanConfig
+    from attngan_tpu.infer.sampler import Sampler
+    from attngan_tpu.train.gan_trainer import GanTrainer
+
+    vocab, batch = 1000, 128
+    cfg = GanConfig(compute_dtype="bfloat16")
+    trainer = GanTrainer(cfg, vocab_size=vocab)
+    state = trainer.init_state(seed=0)
+    sampler = Sampler(trainer, state)
+
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, vocab, (batch, cfg.seq_len)), jnp.int32)
+    lengths = jnp.full((batch,), cfg.seq_len, jnp.int32)
+
+    # compile + warmup
+    imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(0))
+    jax.block_until_ready(imgs)
+    assert imgs.shape == (batch, 256, 256, 3)
+
+    iters = 20
+    start = time.perf_counter()
+    for i in range(iters):
+        imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(i))
+    jax.block_until_ready(imgs)
+    dt = time.perf_counter() - start
+
+    rate = batch * iters / dt
+    print(json.dumps({
+        "metric": "256px_generated_images_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(rate / PER_CHIP_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Text -> image inference entry point (reference test.py, with a real CLI).
+
+Restores the trained GAN checkpoint and a CaptionHandler from the saved
+captions JSON, then generates 256x256 images from captions fetched by fuzzy
+image-name match (optionally swapping cluster tokens between two captions
+for the controllability demo, reference test.py:105-106).
+
+Examples:
+  python test.py --captions-path data/caps.json --checkpoint checkpoints/gan \
+      --image-names imgA imgB --swap 1 --out out/
+  python test.py --captions-path data/caps.json --checkpoint checkpoints/gan \
+      --benchmark --batch-size 256        # throughput measurement
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args():
+    from config import Config
+
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--captions-path", default=Config.CAPTIONS_JSON)
+    p.add_argument("--checkpoint", default=os.path.join(Config.CHECKPOINT_DIR, "gan"))
+    p.add_argument("--image-names", nargs="*", default=[])
+    p.add_argument("--swap", type=int, default=0,
+                   help="swap N cluster tokens between the first two captions")
+    p.add_argument("--swap-reverse", action="store_true")
+    p.add_argument("--out", default="generated_images")
+    p.add_argument("--num-stages", type=int, default=3, choices=[1, 2, 3])
+    p.add_argument("--gf-dim", type=int, default=32)
+    p.add_argument("--df-dim", type=int, default=64,
+                   help="must match training (disc params live in the state)")
+    p.add_argument("--emb-dim", type=int, default=256)
+    p.add_argument("--seq-len", type=int, default=5)
+    p.add_argument("--image-encoder", default="inception_v3")
+    p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if not args.benchmark and not args.image_names:
+        raise SystemExit("pass --image-names (or --benchmark)")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from attngan_tpu.core.config import GanConfig
+    from attngan_tpu.data.captions import CaptionHandler
+    from attngan_tpu.infer.sampler import Sampler
+    from attngan_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from attngan_tpu.train.gan_trainer import GanTrainer
+    from attngan_tpu.utils.imaging import save_image
+
+    handler = CaptionHandler(args.captions_path)
+    cfg = GanConfig(gf_dim=args.gf_dim, df_dim=args.df_dim,
+                    emb_dim=args.emb_dim,
+                    seq_len=args.seq_len, num_stages=args.num_stages,
+                    image_encoder=args.image_encoder,
+                    compute_dtype=args.compute_dtype)
+    trainer = GanTrainer(cfg, vocab_size=handler.vocab_size)
+    state = trainer.init_state(seed=args.seed)
+    ckpt = latest_checkpoint(args.checkpoint) or (
+        args.checkpoint if os.path.exists(args.checkpoint) else None)
+    if ckpt:
+        state = restore_checkpoint(ckpt, state)
+        print(f"restored {ckpt}")
+    else:
+        print("WARNING: no checkpoint found; using random weights")
+    sampler = Sampler(trainer, state, caption_handler=handler)
+
+    if args.benchmark:
+        rng = np.random.default_rng(args.seed)
+        tokens = jnp.asarray(
+            rng.integers(0, handler.vocab_size, (args.batch_size, cfg.seq_len)),
+            jnp.int32)
+        lengths = jnp.full((args.batch_size,), cfg.seq_len, jnp.int32)
+        imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(0))
+        jax.block_until_ready(imgs)  # compile + warmup
+        iters = 10
+        start = time.perf_counter()
+        for i in range(iters):
+            imgs = sampler.generate_from_tokens(tokens, lengths,
+                                                jax.random.key(i))
+        jax.block_until_ready(imgs)
+        dt = time.perf_counter() - start
+        rate = args.batch_size * iters / dt
+        print(json.dumps({"metric": "gen_images_per_sec",
+                          "value": round(rate, 2), "unit": "img/s",
+                          "batch_size": args.batch_size}))
+        return
+
+    captions = handler.get_captions(args.image_names)
+    if args.swap and len(captions) >= 2:
+        captions[:2] = handler.swap_captions(captions[:2], num=args.swap,
+                                             reverse=args.swap_reverse)
+    images = sampler.generate_from_captions(captions, seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    for name, img in zip(args.image_names, images):
+        path = os.path.join(args.out, f"{os.path.basename(name)}.png")
+        save_image(img, path)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

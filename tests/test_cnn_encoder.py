@@ -1,0 +1,82 @@
+"""Inception-v3 / ResNet-18 port structure tests.
+
+torchvision is not installed in this environment, so numeric parity with the
+pretrained torch weights can't be oracle-tested here; these tests pin the
+documented architecture contract instead (stage shapes from reference
+cnn_encoder.py:76-97's inline comments) and check the weight-converter key
+mapping logic on synthetic state dicts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attngan_tpu.models.cnn_encoder import CNNEncoder, TinyCNNEncoder
+from attngan_tpu.models.resnet import ImageEmbedder, ResNet18
+
+
+@pytest.mark.slow
+def test_inception_encoder_shapes(rng):
+    enc = CNNEncoder(out_dim=32)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    variables = enc.init(jax.random.key(0), x, train=False)
+    regions, code = enc.apply(variables, x, train=False)
+    assert regions.shape == (1, 17 * 17, 32)  # Mixed_6e tap (ref :92)
+    assert code.shape == (1, 32)              # pooled Mixed_7c (ref :94-97)
+    # trunk/head param split used by the freeze logic
+    assert set(variables["params"]) == {"trunk", "emb_features", "emb_cnn_code"}
+    # head init bound U(-0.1, 0.1) (ref :59-63)
+    k = variables["params"]["emb_features"]["kernel"]
+    assert float(jnp.max(jnp.abs(k))) <= 0.1
+
+
+def test_tiny_encoder_contract(rng):
+    enc = TinyCNNEncoder(out_dim=16, width=8)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    variables = enc.init(jax.random.key(0), x, train=False)
+    regions, code = enc.apply(variables, x, train=False)
+    assert regions.shape == (2, 17 * 17, 16)
+    assert code.shape == (2, 16)
+    assert set(variables["params"]) == {"trunk", "emb_features", "emb_cnn_code"}
+
+
+@pytest.mark.slow
+def test_resnet18_embedder(rng):
+    model = ResNet18()
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 512)
+
+    embedder = ImageEmbedder(variables=variables)
+    imgs = rng.standard_normal((5, 64, 64, 3)).astype(np.float32)
+    embs = embedder.embed(imgs, batch_size=2)  # exercises ragged pad path
+    assert embs.shape == (5, 512)
+
+
+def test_weight_converter_key_mapping():
+    """Synthetic torch-style state_dict -> our param tree paths."""
+    import torch
+
+    from tools.convert_torch_weights import convert_cnn_trunk_like
+
+    sd = {
+        "Conv2d_1a_3x3.conv.weight": torch.zeros(32, 3, 3, 3),
+        "Conv2d_1a_3x3.bn.weight": torch.ones(32),
+        "Conv2d_1a_3x3.bn.bias": torch.zeros(32),
+        "Conv2d_1a_3x3.bn.running_mean": torch.zeros(32),
+        "Conv2d_1a_3x3.bn.running_var": torch.ones(32),
+        "layer1.0.conv1.weight": torch.zeros(64, 64, 3, 3),
+        "layer2.0.downsample.0.weight": torch.zeros(128, 64, 1, 1),
+        "layer2.0.downsample.1.running_var": torch.ones(128),
+        "fc_like.weight": torch.zeros(10, 512),
+    }
+    out = convert_cnn_trunk_like(sd)
+    assert out["params"]["Conv2d_1a_3x3"]["conv"]["kernel"].shape == (3, 3, 3, 32)
+    assert out["params"]["Conv2d_1a_3x3"]["bn"]["scale"].shape == (32,)
+    assert out["batch_stats"]["Conv2d_1a_3x3"]["bn"]["mean"].shape == (32,)
+    assert out["params"]["layer1_0"]["conv1"]["kernel"].shape == (3, 3, 64, 64)
+    assert out["params"]["layer2_0"]["downsample_conv"]["kernel"].shape == (1, 1, 64, 128)
+    assert out["batch_stats"]["layer2_0"]["downsample_bn"]["var"].shape == (128,)
+    assert out["params"]["fc_like"]["kernel"].shape == (512, 10)  # linear transposed

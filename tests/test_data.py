@@ -1,0 +1,123 @@
+"""Data layer: vocab, pyramid preprocessing, batching, captions, clustering."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attngan_tpu.data import (
+    CaptionHandler,
+    Vocab,
+    determine_k_values,
+    make_synthetic_dataset,
+    preprocess_pyramid,
+    word_mask,
+)
+
+
+def test_vocab_build_and_unk():
+    v = Vocab()
+    v.build([["k4c1", "k8c3"], ["k4c2", "k8c3"]])
+    assert v.vocab_built
+    assert v.process(["k4c1", "never-seen"])[1] == v.word2index["[UNK]"]
+    ids, lengths = v.encode_batch([["k4c1"], ["k4c2", "k8c3"]], max_seqlen=4)
+    assert ids.shape == (2, 4)
+    np.testing.assert_array_equal(lengths, [1, 2])
+    np.testing.assert_array_equal(ids[0, 1:], 0)
+
+
+def test_preprocess_pyramid_range_and_flip(rng):
+    pixels = rng.integers(0, 256, (2, 256, 256, 3)).astype(np.uint8)
+    flip = np.array([False, True])
+    out = preprocess_pyramid(jnp.asarray(pixels), jnp.asarray(flip))
+    assert set(out) == {64, 128, 256}
+    for res, arr in out.items():
+        assert arr.shape == (2, res, res, 3)
+    a = np.asarray(out[256])
+    assert a.min() >= -1.0 and a.max() <= 1.0
+    # sample 0 unflipped, sample 1 mirrored
+    expected0 = pixels[0].astype(np.float32) / 255.0 * 2 - 1
+    np.testing.assert_allclose(a[0], expected0, atol=1e-6)
+    expected1 = (pixels[1].astype(np.float32) / 255.0 * 2 - 1)[:, ::-1]
+    np.testing.assert_allclose(a[1], expected1, atol=1e-6)
+
+
+def test_dataset_batching_and_persistence(tmp_path):
+    ds = make_synthetic_dataset(num_images=10, num_classes=2, res=64)
+    batches = list(ds.iter_batches(batch_size=4, shuffle=False))
+    assert len(batches) == 2  # ragged final batch of 2 dropped
+    b = batches[0]
+    assert b["tokens"].shape == (4, ds.max_seqlen)
+    assert b["pixels"].shape == (4, 64, 64, 3)
+
+    path = tmp_path / "caps.json"
+    ds.save_captions_and_class_ids(str(path))
+    ds2 = make_synthetic_dataset(num_images=10, num_classes=2,
+                                 with_captions=False, res=64)
+    assert ds2.records[0].caption == []
+    ds2.load_captions_and_class_ids(str(path))
+    assert ds2.records[0].caption == ds.records[0].caption
+    assert ds2.records[3].class_id == ds.records[3].class_id
+    # same JSON schema as the reference (bedrooms.py:166-180)
+    mapping = json.loads(path.read_text())
+    caption, class_id = next(iter(mapping.values()))
+    assert isinstance(caption, list) and isinstance(class_id, int)
+
+
+def test_word_mask():
+    m = np.asarray(word_mask(jnp.asarray([3, 1]), 5))
+    np.testing.assert_array_equal(m, [[1, 1, 1, 0, 0], [1, 0, 0, 0, 0]])
+
+
+def test_determine_k_values():
+    # max_vocab=1000, min_k=5 -> reversed([500, 250, 125, 62, 31, 15, 7])
+    assert determine_k_values(1000, 5) == [7, 15, 31, 62, 125, 250, 500]
+    assert determine_k_values(24, 5) == [6, 12]
+
+
+def test_caption_handler_roundtrip(tmp_path):
+    mapping = {
+        "data/imgA_123.jpg": [["k4c1", "k8c2"], 0],
+        "data/imgB_456.jpg": [["k4c3", "k8c7"], 1],
+    }
+    path = tmp_path / "caps.json"
+    path.write_text(json.dumps(mapping))
+    ch = CaptionHandler(str(path))
+    assert ch.vocab_size >= 5  # 4 tokens + [UNK]
+    caps = ch.get_captions(["imgA_123", "imgB_456"])
+    assert caps == [["k4c1", "k8c2"], ["k4c3", "k8c7"]]
+    swapped = ch.swap_captions(caps, num=1)
+    assert swapped[0][0] == "k4c3" and swapped[1][0] == "k4c1"
+    swapped_r = ch.swap_captions(caps, num=1, reverse=True)
+    assert swapped_r[0][-1] == "k8c7"
+    tokens, lengths = ch.preprocess(caps, max_seqlen=4)
+    assert tokens.shape == (2, 4)
+    np.testing.assert_array_equal(lengths, [2, 2])
+
+
+def test_clusterer_assigns_captions_and_class_ids():
+    from attngan_tpu.data.clusterer import HierarchicalClusterer
+
+    ds = make_synthetic_dataset(num_images=16, num_classes=4,
+                                with_captions=False, res=64)
+    hc = HierarchicalClusterer(embedder=_FakeEmbedder())
+    hc.cluster(ds, latent_dims=4, max_vocab_size=16, min_clusters=1,
+               method="kmeans")
+    # k ladder for 16/min 1: [2, 4, 8] -> 3 caption tokens per image
+    assert all(len(r.caption) == 3 for r in ds.records)
+    assert all(r.caption[0].startswith("k2c") for r in ds.records)
+    assert all(r.class_id is not None for r in ds.records)
+    # images of the same synthetic class should co-cluster at the top level
+    by_class = {}
+    for r, rec in zip(range(len(ds.records)), ds.records):
+        by_class.setdefault(r % 4, set()).add(rec.caption[-1])
+    # (soft structural check: captions exist and are cluster-shaped)
+
+
+class _FakeEmbedder:
+    """Deterministic stand-in for the ResNet embedder (keeps the test fast)."""
+
+    def embed(self, images: np.ndarray, batch_size: int = 32) -> np.ndarray:
+        m = images.reshape(images.shape[0], -1)
+        return np.stack([m.mean(1), m.std(1), m.max(1), m.min(1)], axis=1)

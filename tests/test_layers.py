@@ -114,8 +114,8 @@ def test_resblock_is_residual(rng):
     m = L.ResBlock(features=16)
     variables = m.init(jax.random.key(0), x, train=True)
     params = jax.tree_util.tree_map(lambda p: p, variables["params"])
-    params["BatchNorm_1"]["scale"] = jnp.zeros_like(params["BatchNorm_1"]["scale"])
-    params["BatchNorm_1"]["bias"] = jnp.zeros_like(params["BatchNorm_1"]["bias"])
+    params["TorchBatchNorm_1"]["scale"] = jnp.zeros_like(params["TorchBatchNorm_1"]["scale"])
+    params["TorchBatchNorm_1"]["bias"] = jnp.zeros_like(params["TorchBatchNorm_1"]["bias"])
     y, _ = m.apply(
         {"params": params, "batch_stats": variables["batch_stats"]},
         x, train=True, mutable=["batch_stats"],

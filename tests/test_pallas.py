@@ -1,0 +1,90 @@
+"""Pallas kernels vs their jnp oracles (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attngan_tpu.losses.damsm import words_loss
+from attngan_tpu.ops.attention import word_attention
+from attngan_tpu.ops.pallas_attention import word_attention_pallas
+from attngan_tpu.ops.pallas_damsm import (
+    damsm_similarity_pallas,
+    words_loss_pallas,
+)
+
+
+def _attn_inputs(rng, b=2, h=16, w=16, c=32, l=6):
+    images = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    words = jnp.asarray(rng.standard_normal((b, l, c)), jnp.float32)
+    mask = np.ones((b, l), np.int32)
+    mask[0, 4:] = 0
+    return images, words, jnp.asarray(mask)
+
+
+def test_pallas_word_attention_matches_jnp(rng):
+    images, words, mask = _attn_inputs(rng)
+    ctx_p, attn_p = word_attention_pallas(images, words, mask, block_p=128)
+    ctx_j, attn_j = word_attention(images, words, mask)
+    np.testing.assert_allclose(np.asarray(ctx_p), np.asarray(ctx_j),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(attn_p), np.asarray(attn_j),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_word_attention_grad_matches_jnp(rng):
+    images, words, mask = _attn_inputs(rng, h=8, w=8)
+
+    def loss_pallas(im, wd):
+        ctx, _ = word_attention_pallas(im, wd, mask, block_p=64)
+        return jnp.sum(ctx ** 2)
+
+    def loss_jnp(im, wd):
+        ctx, _ = word_attention(im, wd, mask)
+        return jnp.sum(ctx ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(images, words)
+    gj = jax.grad(loss_jnp, argnums=(0, 1))(images, words)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def _damsm_inputs(rng, b=4, r=9, d=16, l=5):
+    img = jnp.asarray(rng.standard_normal((b, r, d)), jnp.float32)
+    words = jnp.asarray(rng.standard_normal((b, l, d)), jnp.float32)
+    mask = np.ones((b, l), np.int32)
+    mask[1, 3:] = 0
+    mask[2, 2:] = 0
+    return img, words, jnp.asarray(mask)
+
+
+def test_pallas_damsm_similarity_matches_vmap(rng):
+    from attngan_tpu.ops.pallas_damsm import _jnp_similarity
+
+    img, words, mask = _damsm_inputs(rng)
+    sims_p = damsm_similarity_pallas(img, words, mask)
+    sims_j = _jnp_similarity(img, words, mask, 4.0, 5.0)
+    np.testing.assert_allclose(np.asarray(sims_p), np.asarray(sims_j),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_words_loss_matches_reference_impl(rng):
+    img, words, mask = _damsm_inputs(rng)
+    labels = jnp.arange(4)
+    class_ids = jnp.asarray([0, 1, 0, 2])
+    loss_p = words_loss_pallas(img, words, labels, mask, class_ids)
+    loss_j, _ = words_loss(img, words, labels, mask, class_ids)
+    np.testing.assert_allclose(float(loss_p), float(loss_j), rtol=1e-4)
+
+
+def test_pallas_words_loss_grad_matches(rng):
+    img, words, mask = _damsm_inputs(rng)
+    labels = jnp.arange(4)
+
+    gp = jax.grad(lambda im, wd: words_loss_pallas(im, wd, labels, mask, None),
+                  argnums=(0, 1))(img, words)
+    gj = jax.grad(lambda im, wd: words_loss(im, wd, labels, mask, None)[0],
+                  argnums=(0, 1))(img, words)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -1,0 +1,88 @@
+"""Data-parallel sharding over the forced 8-device CPU mesh (SURVEY.md §2.5:
+the reference is single-GPU; DP over ICI is first-class here)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attngan_tpu.core.config import DamsmConfig, GanConfig
+from attngan_tpu.parallel import make_mesh, replicate, shard_batch
+from attngan_tpu.train.damsm_trainer import DamsmTrainer
+from attngan_tpu.train.gan_trainer import GanTrainer
+
+B, L, VOCAB = 16, 5, 30  # global batch 16 over 8 devices
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def _batch(rng, keys):
+    batch = {
+        "tokens": jnp.asarray(rng.integers(0, VOCAB, (B, L)), jnp.int32),
+        "lengths": jnp.asarray(rng.integers(2, L + 1, (B,)), jnp.int32),
+        "class_ids": jnp.asarray(np.arange(B) % 4, jnp.int32),
+    }
+    for key in keys:
+        res = int(key[3:])
+        batch[key] = jnp.asarray(
+            np.tanh(rng.standard_normal((B, res, res, 3))), jnp.float32)
+    return batch
+
+
+def test_damsm_step_sharded_matches_single_device(rng):
+    """The sharded step must produce the same loss as the unsharded one —
+    the global BxB similarity all-gather is handled by SPMD."""
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=B,
+                      image_encoder="tiny", compute_dtype="")
+    trainer = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    state = trainer.init_state(seed=0)
+    batch = _batch(rng, ["img256"])
+
+    _, metrics_single = trainer.train_step(
+        jax.tree_util.tree_map(jnp.copy, state),
+        jax.tree_util.tree_map(jnp.copy, batch))
+
+    mesh = make_mesh()
+    sharded_state = replicate(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    sharded_batch = shard_batch(jax.tree_util.tree_map(jnp.copy, batch), mesh)
+    new_state, metrics_sharded = trainer.train_step(sharded_state, sharded_batch)
+
+    np.testing.assert_allclose(float(metrics_single["loss"]),
+                               float(metrics_sharded["loss"]),
+                               rtol=1e-4)
+    assert int(new_state.step) == 1
+
+
+def test_gan_step_sharded_runs(rng):
+    cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                    seq_len=L, batch_size=B, num_stages=2,
+                    image_encoder="tiny", compute_dtype="")
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    batch = _batch(rng, ["img64", "img128"])
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    state, metrics = trainer.train_step(state, batch)
+    for key, val in metrics.items():
+        assert np.isfinite(float(val)), f"{key} not finite"
+
+
+def test_sharded_inference(rng):
+    from attngan_tpu.infer.sampler import Sampler
+
+    cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                    seq_len=L, batch_size=B, num_stages=2,
+                    image_encoder="tiny", compute_dtype="")
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    sampler = Sampler(trainer, state)
+    tokens = jnp.asarray(rng.integers(0, VOCAB, (B, L)), jnp.int32)
+    lengths = jnp.asarray(rng.integers(2, L + 1, (B,)), jnp.int32)
+    batch = shard_batch({"tokens": tokens, "lengths": lengths}, mesh)
+    imgs = sampler.generate_from_tokens(batch["tokens"], batch["lengths"],
+                                        jax.random.key(0))
+    assert imgs.shape == (B, 128, 128, 3)

@@ -1,0 +1,131 @@
+"""End-to-end train-step tests on tiny shapes (reference SURVEY.md §4:
+loss decreases, state updates, optimizers step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attngan_tpu.core.config import DamsmConfig, GanConfig, replace
+from attngan_tpu.train.damsm_trainer import DamsmTrainer
+from attngan_tpu.train.gan_trainer import GanTrainer
+
+B, L, VOCAB = 4, 5, 30
+
+
+def _damsm_batch(rng, res=64):
+    return {
+        "tokens": jnp.asarray(rng.integers(0, VOCAB, (B, L)), jnp.int32),
+        "lengths": jnp.asarray([5, 3, 4, 2], jnp.int32),
+        "class_ids": jnp.asarray([0, 1, 2, 3], jnp.int32),
+        "img256": jnp.asarray(rng.standard_normal((B, res, res, 3)), jnp.float32) * 0.5,
+    }
+
+
+@pytest.fixture(scope="module")
+def damsm_cfg():
+    return DamsmConfig(emb_dim=32, text_emb_dim=16, batch_size=B,
+                       image_encoder="tiny", compute_dtype="")
+
+
+def test_damsm_step_decreases_loss(rng, damsm_cfg):
+    trainer = DamsmTrainer(damsm_cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    state = trainer.init_state(seed=0)
+    batch = _damsm_batch(rng)
+    losses = []
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"no improvement: {losses[0]} -> {losses[-1]}"
+    assert int(state.step) == 30
+
+
+def test_damsm_trunk_params_frozen(rng, damsm_cfg):
+    trainer = DamsmTrainer(damsm_cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    state = trainer.init_state(seed=0)
+    trunk_before = [np.asarray(x).copy()
+                    for x in jax.tree_util.tree_leaves(state.cnn_trunk_params)]
+    state, _ = trainer.train_step(state, _damsm_batch(rng))
+    trunk_after = jax.tree_util.tree_leaves(state.cnn_trunk_params)
+    for a, b in zip(trunk_before, trunk_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # heads and rnn DID move
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.rnn_params),
+                        jax.tree_util.tree_leaves(
+                            trainer.init_state(seed=0).rnn_params))
+    )
+
+
+def test_damsm_rnn_grad_clip(rng, damsm_cfg):
+    trainer = DamsmTrainer(damsm_cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    state = trainer.init_state(seed=0)
+    _, metrics = trainer.train_step(state, _damsm_batch(rng))
+    assert np.isfinite(float(metrics["rnn_grad_norm"]))
+
+
+def _gan_batch(rng, resolutions):
+    batch = {
+        "tokens": jnp.asarray(rng.integers(0, VOCAB, (B, L)), jnp.int32),
+        "lengths": jnp.asarray([5, 3, 4, 2], jnp.int32),
+        "class_ids": jnp.asarray([0, 1, 2, 3], jnp.int32),
+    }
+    for res in resolutions:
+        batch[f"img{res}"] = jnp.asarray(
+            np.tanh(rng.standard_normal((B, res, res, 3))), jnp.float32)
+    return batch
+
+
+@pytest.mark.parametrize("num_stages", [1, 2])
+def test_gan_step_runs_and_updates(rng, num_stages):
+    cfg = GanConfig(gf_dim=8, df_dim=8, emb_dim=32, cond_dim=8, z_dim=8,
+                    seq_len=L, batch_size=B, num_stages=num_stages,
+                    image_encoder="tiny", compute_dtype="")
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    gen_before = jax.tree_util.tree_leaves(state.gen_params)
+    gen_before = [np.asarray(g).copy() for g in gen_before]
+    batch = _gan_batch(rng, cfg.resolutions)
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+    for key, val in metrics.items():
+        assert np.isfinite(float(val)), f"{key} not finite"
+    assert f"d_loss_{cfg.resolutions[-1]}" in metrics
+    assert "kl_loss" in metrics
+    gen_after = jax.tree_util.tree_leaves(state.gen_params)
+    assert any(not np.allclose(a, np.asarray(b))
+               for a, b in zip(gen_before, gen_after))
+    assert int(state.step) == 3
+
+
+def test_gan_step_full_3stage_with_damsm(rng):
+    """Full cascade incl. the DAMSM coupling on fake256 (train.py:138-145)."""
+    cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                    seq_len=L, batch_size=B, num_stages=3,
+                    image_encoder="tiny", compute_dtype="")
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    batch = _gan_batch(rng, cfg.resolutions)
+    state, metrics = trainer.train_step(state, batch)
+    assert "damsm_loss" in metrics
+    for key, val in metrics.items():
+        assert np.isfinite(float(val)), f"{key} not finite"
+
+
+def test_gan_sampler(rng):
+    from attngan_tpu.infer.sampler import Sampler
+
+    cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                    seq_len=L, batch_size=B, num_stages=2,
+                    image_encoder="tiny", compute_dtype="")
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    sampler = Sampler(trainer, state)
+    tokens = jnp.asarray(rng.integers(0, VOCAB, (B, L)), jnp.int32)
+    lengths = jnp.asarray([5, 3, 4, 2], jnp.int32)
+    imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(0))
+    assert imgs.shape == (B, 128, 128, 3)
+    arr = np.asarray(imgs)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
