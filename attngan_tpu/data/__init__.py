@@ -1,3 +1,8 @@
+from attngan_tpu.data.captioned import (
+    csv_caption_dataset,
+    folder_caption_dataset,
+    tokenize_caption,
+)
 from attngan_tpu.data.captions import CaptionHandler
 from attngan_tpu.data.clusterer import HierarchicalClusterer, determine_k_values
 from attngan_tpu.data.dataset import (
@@ -13,6 +18,7 @@ from attngan_tpu.data.vocab import Vocab
 
 __all__ = [
     "CaptionHandler", "Dataset", "HierarchicalClusterer", "Record", "Vocab",
-    "decode_image", "determine_k_values", "make_synthetic_dataset",
-    "preprocess_pyramid", "scan_image_paths", "word_mask",
+    "csv_caption_dataset", "decode_image", "determine_k_values",
+    "folder_caption_dataset", "make_synthetic_dataset", "preprocess_pyramid",
+    "scan_image_paths", "tokenize_caption", "word_mask",
 ]

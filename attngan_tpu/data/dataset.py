@@ -160,6 +160,7 @@ class Dataset:
                 [r.caption for r in recs], max_seqlen
             )
             yield {
+                "indices": idx,
                 "tokens": tokens,
                 "lengths": lengths,
                 "class_ids": np.asarray(
@@ -169,6 +170,33 @@ class Dataset:
                 "pixels": np.stack([r.pixels for r in recs]),
                 "flip": np.asarray([r.flip for r in recs], bool),
             }
+
+    def evaluate_clustering(self, idx, max_images: int = 50, nrow: int = 10,
+                            folder: str = "images_testing", seed: int = 0):
+        """For each cluster level of one image's caption (finest first),
+        dump a grid of co-clustered members (reference bedrooms.py:186-207).
+        Returns {k_value: member count}."""
+        import os
+
+        from attngan_tpu.utils.imaging import image_grid, save_image
+
+        record = (self.records[idx] if isinstance(idx, int)
+                  else next(r for r in self.records if r.fpath == idx))
+        counts = {}
+        rng = np.random.default_rng(seed)
+        for i, token in enumerate(reversed(record.caption), 1):
+            k_value = token.split("c")[0].lstrip("k")
+            members = [r for r in self.records
+                       if len(r.caption) >= i and r.caption[-i] == token]
+            counts[k_value] = len(members)
+            chosen = list(members)
+            rng.shuffle(chosen)
+            chosen = chosen[:max_images]
+            imgs = np.stack([r.pixels for r in chosen]).astype(np.float32) / 255.0
+            os.makedirs(folder, exist_ok=True)
+            save_image(image_grid(imgs, nrow=nrow),
+                       os.path.join(folder, f"k-{k_value}.png"))
+        return counts
 
     def device_batch(self, host_batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         """Move a host batch to device and build the image pyramid."""

@@ -1,0 +1,84 @@
+"""FID harness (SURVEY.md §7 step 11 — a gap in the reference, which
+publishes no metrics; BASELINE.md requires FID parity checking).
+
+Features are the 2048-d pooled Inception-v3 activations from the same
+InceptionV3Trunk used by the DAMSM encoder (the classic FID feature space
+when loaded with converted torchvision weights). Statistics are accumulated
+on device in batches; the Frechet distance (matrix sqrt) runs host-side via
+scipy eigendecomposition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
+                     mu2: np.ndarray, sigma2: np.ndarray,
+                     eps: float = 1e-6) -> float:
+    """||mu1 - mu2||^2 + Tr(S1 + S2 - 2 sqrt(S1 S2))."""
+    import scipy.linalg
+
+    diff = mu1 - mu2
+    covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = scipy.linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    covmean = np.real(covmean)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+def activation_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, D) features -> (mean (D,), covariance (D, D))."""
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+class FIDEvaluator:
+    """Computes FID between two image sets in [-1, 1] NHWC.
+
+    feature_fn: images -> (N, D) features. Defaults to the InceptionV3Trunk
+    pooled output (pass converted-torchvision variables for standard FID;
+    random-init features still give a self-consistent relative metric).
+    """
+
+    def __init__(self, feature_fn: Optional[Callable] = None,
+                 variables: Optional[dict] = None, batch_size: int = 32,
+                 seed: int = 0):
+        self.batch_size = batch_size
+        if feature_fn is None:
+            from attngan_tpu.models.cnn_encoder import InceptionV3Trunk
+
+            trunk = InceptionV3Trunk(dtype=jnp.bfloat16)
+            if variables is None:
+                variables = trunk.init(
+                    jax.random.key(seed), jnp.zeros((1, 64, 64, 3)),
+                    train=False)
+            fwd = jax.jit(lambda x: trunk.apply(variables, x, train=False)[1]
+                          .astype(jnp.float32))
+            feature_fn = fwd
+        self.feature_fn = feature_fn
+
+    def features(self, images: np.ndarray) -> np.ndarray:
+        out = []
+        bs = self.batch_size
+        for start in range(0, images.shape[0], bs):
+            batch = jnp.asarray(images[start : start + bs])
+            if batch.shape[0] < bs:  # pad to a single compiled shape
+                pad = bs - batch.shape[0]
+                padded = jnp.pad(batch, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                out.append(np.asarray(self.feature_fn(padded))[: batch.shape[0]])
+            else:
+                out.append(np.asarray(self.feature_fn(batch)))
+        return np.concatenate(out, axis=0)
+
+    def fid(self, real_images: np.ndarray, fake_images: np.ndarray) -> float:
+        mu_r, sig_r = activation_statistics(self.features(real_images))
+        mu_f, sig_f = activation_statistics(self.features(fake_images))
+        return frechet_distance(mu_r, sig_r, mu_f, sig_f)

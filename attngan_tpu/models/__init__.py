@@ -1,3 +1,9 @@
+from attngan_tpu.models.cnn_encoder import (
+    CNNEncoder,
+    InceptionV3Trunk,
+    TinyCNNEncoder,
+    make_image_encoder,
+)
 from attngan_tpu.models.discriminators import Discriminator
 from attngan_tpu.models.generator import (
     CondAugment,
@@ -6,9 +12,14 @@ from attngan_tpu.models.generator import (
     MakeImage,
     NextStage,
 )
+from attngan_tpu.models.resnet import ImageEmbedder, ResNet18
 from attngan_tpu.models.rnn_encoder import BiLSTMEncoder
+from attngan_tpu.models.vae import AutoEncoder, DFCVAE, VAEEmbedder
+from attngan_tpu.models.vgg import VGG19BNFeatures
 
 __all__ = [
-    "BiLSTMEncoder", "CondAugment", "Discriminator", "Generator",
-    "InitialStage", "MakeImage", "NextStage",
+    "AutoEncoder", "BiLSTMEncoder", "CNNEncoder", "CondAugment", "DFCVAE",
+    "Discriminator", "Generator", "ImageEmbedder", "InceptionV3Trunk",
+    "InitialStage", "MakeImage", "NextStage", "ResNet18", "TinyCNNEncoder",
+    "VAEEmbedder", "VGG19BNFeatures", "make_image_encoder",
 ]

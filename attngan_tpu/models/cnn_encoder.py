@@ -228,6 +228,28 @@ class CNNEncoder(nn.Module):
             cnn_code.astype(jnp.float32)
 
 
+class TinyTrunk(nn.Module):
+    """Small conv trunk with the InceptionV3Trunk output contract
+    ((B, 17, 17, F) regions, (B, F) pooled)."""
+
+    width: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        x = jax.image.resize(x, (b, 68, 68, x.shape[-1]), "bilinear")
+        w = self.width
+        x = nn.relu(nn.Conv(w, (3, 3), strides=2, padding=1,
+                            dtype=self.dtype)(x))       # 34x34
+        x = nn.relu(nn.Conv(w * 2, (3, 3), strides=2, padding=1,
+                            dtype=self.dtype)(x))       # 17x17
+        regions = nn.relu(nn.Conv(w * 2, (3, 3), padding=1,
+                                  dtype=self.dtype)(x))
+        pooled = jnp.mean(regions, axis=(1, 2))
+        return regions, pooled
+
+
 class TinyCNNEncoder(nn.Module):
     """Drop-in small image encoder with the CNNEncoder interface.
 
@@ -245,25 +267,7 @@ class TinyCNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        class _Trunk(nn.Module):
-            width: int
-            dtype: jnp.dtype | None
-
-            @nn.compact
-            def __call__(self, x, train: bool):
-                b = x.shape[0]
-                x = jax.image.resize(x, (b, 68, 68, x.shape[-1]), "bilinear")
-                w = self.width
-                x = nn.relu(nn.Conv(w, (3, 3), strides=2, padding=1,
-                                    dtype=self.dtype)(x))       # 34x34
-                x = nn.relu(nn.Conv(w * 2, (3, 3), strides=2, padding=1,
-                                    dtype=self.dtype)(x))       # 17x17
-                regions = nn.relu(nn.Conv(w * 2, (3, 3), padding=1,
-                                          dtype=self.dtype)(x))
-                pooled = jnp.mean(regions, axis=(1, 2))
-                return regions, pooled
-
-        regions, pooled = _Trunk(self.width, self.dtype, name="trunk")(x, train)
+        regions, pooled = TinyTrunk(self.width, self.dtype, name="trunk")(x, train)
         regions = nn.Conv(self.out_dim, (1, 1), use_bias=False,
                           kernel_init=_head_init, name="emb_features",
                           dtype=self.dtype)(regions)

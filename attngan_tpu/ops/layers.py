@@ -122,6 +122,39 @@ def batch_norm(train: bool, name=None, dtype=None) -> TorchBatchNorm:
                           epsilon=BN_EPS, name=name, dtype=dtype)
 
 
+def calculate_out_hw(hw: int, k: int, s: int, p: int = 0) -> int:
+    """Conv output size: floor((hw + 2p - k)/s) + 1 (reference
+    utilities/layers.py:41-43)."""
+    return (hw + 2 * p - k) // s + 1
+
+
+def solve_conv_params(in_hw: int, out_hw: int, max_kern: int = 4,
+                      max_stride: int = 3, max_pad: int = 3):
+    """Search (kernel, stride, pad) hitting an exact output size, preferring
+    large kernel, then large pad, then large stride (reference
+    utilities/layers.py:28-38 ``Layers.conv``)."""
+    valid = [
+        (k, s, p)
+        for k in range(1, max_kern + 1)
+        for s in range(1, max_stride + 1)
+        for p in range(max_pad + 1)
+        if calculate_out_hw(in_hw, k, s, p) == out_hw
+    ]
+    if not valid:
+        raise ValueError(
+            f"no (k, s, p) with k<={max_kern}, s<={max_stride}, p<={max_pad} "
+            f"maps {in_hw} -> {out_hw}")
+    return max(valid, key=lambda x: (x[0], x[2], x[1]))
+
+
+def conv_for_output(features: int, in_hw: int, out_hw: int, use_bias=False,
+                    name=None, dtype=None, **limits) -> nn.Conv:
+    """Conv layer whose (k, s, p) are solved to hit ``out_hw`` exactly."""
+    k, s, p = solve_conv_params(in_hw, out_hw, **limits)
+    return nn.Conv(features, (k, k), strides=s, padding=p, use_bias=use_bias,
+                   name=name, dtype=dtype)
+
+
 class UpBlock(nn.Module):
     """2x nearest upsample -> conv3x3(out*2) -> BN -> GLU (layers.py:60-69)."""
 

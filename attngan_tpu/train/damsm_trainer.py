@@ -75,6 +75,9 @@ class DamsmTrainer:
         self._step_fn = jax.jit(
             functools.partial(_damsm_step, self), donate_argnums=(0,)
         )
+        self._cached_step_fn = jax.jit(
+            functools.partial(_damsm_step_cached, self), donate_argnums=(0,)
+        )
 
     # ---- init ----
 
@@ -122,13 +125,156 @@ class DamsmTrainer:
             train=False,
         )
 
+    # ---- cached-trunk-features fast path (cfg.cache_region_features) ----
+    #
+    # The trunk is FROZEN and the input images never change, so its forward
+    # is a pure function of the dataset: compute each image's (17x17, F)
+    # regions + pooled code ONCE, keep them in host RAM (fp16), and train
+    # the heads + RNN against the cache. This removes the Inception forward
+    # (the dominant FLOPs of the reference's hot loop,
+    # pretrain_damsm.py:121) from every step after the first epoch — a
+    # TPU-native throughput lever the eager torch reference cannot express.
+
+    def trunk_module(self):
+        from attngan_tpu.models.cnn_encoder import InceptionV3Trunk, TinyTrunk
+
+        dtype = (jnp.dtype(self.cfg.compute_dtype)
+                 if self.cfg.compute_dtype else None)
+        if self.cfg.image_encoder == "inception_v3":
+            return InceptionV3Trunk(dtype=dtype)
+        return TinyTrunk(width=64, dtype=dtype)
+
+    def precompute_trunk_features(self, state: DamsmState, dataset,
+                                  batch_size: int = 0):
+        """Run the frozen trunk over the whole dataset (record order).
+        Returns {'regions' (N, R, F) fp16, 'pooled' (N, F2) fp16}."""
+        import numpy as np
+
+        batch_size = batch_size or self.cfg.batch_size
+        trunk = self.trunk_module()
+        variables = {"params": state.cnn_trunk_params["trunk"]}
+        stats = state.cnn_stats.get("trunk", {})
+        if stats:
+            variables["batch_stats"] = stats
+        fwd = jax.jit(lambda x: trunk.apply(variables, x, train=False))
+
+        regions_out, pooled_out = [], []
+        n = len(dataset.records)
+        for start in range(0, n, batch_size):
+            recs = dataset.records[start : start + batch_size]
+            pixels = np.stack([r.pixels for r in recs])
+            flip = np.asarray([r.flip for r in recs], bool)
+            pad = batch_size - len(recs)
+            if pad:
+                pixels = np.pad(pixels, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                flip = np.pad(flip, (0, pad))
+            from attngan_tpu.data.dataset import preprocess_pyramid
+
+            img256 = preprocess_pyramid(jnp.asarray(pixels),
+                                        jnp.asarray(flip))[256]
+            regions, pooled = fwd(img256)
+            keep = len(recs)
+            regions_out.append(np.asarray(regions, np.float16)[:keep]
+                               .reshape(keep, -1, regions.shape[-1]))
+            pooled_out.append(np.asarray(pooled, np.float16)[:keep])
+        return {"regions": np.concatenate(regions_out),
+                "pooled": np.concatenate(pooled_out)}
+
+    def train_step_cached(self, state: DamsmState, batch):
+        """batch: tokens, lengths, class_ids, trunk_regions (B, R, F),
+        trunk_pooled (B, F2) — from precompute_trunk_features."""
+        return self._cached_step_fn(state, batch)
+
+    def populate_attention_maps(self, state: DamsmState, dataset,
+                                folder: str = "attention_maps",
+                                batch_size: int = 0, limit: int = 0):
+        """Dump per-image DAMSM word-region attention strips (the reference's
+        commented-out ``populate_attnmaps``, pretrain_damsm.py:85-107 — its
+        '44 s / 1000 images' comment is the only reference perf artifact).
+        Returns the number of images written."""
+        import os
+
+        import numpy as np
+
+        from attngan_tpu.data.dataset import word_mask
+        from attngan_tpu.ops.attention import damsm_attention
+        from attngan_tpu.utils.imaging import save_attention_maps
+
+        batch_size = batch_size or self.cfg.batch_size
+        os.makedirs(folder, exist_ok=True)
+
+        @jax.jit
+        def attn_fn(st, tokens, lengths, img256):
+            regions, _ = self.encode_image(st, img256)
+            word_embs, _ = self.encode_text(st, tokens, lengths)
+            mask = word_mask(lengths, self.seq_len)
+            _, attn = damsm_attention(word_embs, regions, self.cfg.gamma1,
+                                      mask=mask)
+            return attn                                # (B, L, R)
+
+        written = 0
+        for host_batch in dataset.iter_batches(batch_size, self.seq_len,
+                                               shuffle=False):
+            device_batch = dataset.device_batch(host_batch)
+            attn = np.asarray(attn_fn(state, device_batch["tokens"],
+                                      device_batch["lengths"],
+                                      device_batch["img256"]))
+            b, l, r = attn.shape
+            side = int(np.sqrt(r))
+            for i in range(b):
+                save_attention_maps(
+                    attn[i].reshape(l, side, side),
+                    os.path.join(folder, f"attn_{written:06d}.png"))
+                written += 1
+                if limit and written >= limit:
+                    return written
+        return written
+
+
+def _apply_heads(head_params, trunk_regions, trunk_pooled):
+    """Apply the trainable heads to cached trunk features — identical math
+    to CNNEncoder's emb_features (1x1 conv == per-region matmul, no bias)
+    and emb_cnn_code (Dense)."""
+    k = head_params["emb_features"]["kernel"][0, 0]        # (F, out_dim)
+    regions = jnp.einsum(
+        "brf,fd->brd", trunk_regions, k, preferred_element_type=jnp.float32)
+    dense = head_params["emb_cnn_code"]
+    code = trunk_pooled @ dense["kernel"] + dense["bias"]
+    return regions.astype(jnp.float32), code.astype(jnp.float32)
+
+
+def _damsm_update(trainer: DamsmTrainer, state: DamsmState, key, loss_fn):
+    """Shared grad/clip/Adam tail of both step variants."""
+    cfg = trainer.cfg
+    trainable = {"rnn": state.rnn_params, "cnn_heads": state.cnn_head_params}
+    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+
+    # clip_grad_norm_(RNN.parameters(), 0.25) — RNN subtree only
+    # (pretrain_damsm.py:132)
+    rnn_leaves = jax.tree_util.tree_leaves(grads["rnn"])
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in rnn_leaves))
+    scale = jnp.minimum(1.0, cfg.rnn_grad_clip / jnp.maximum(gnorm, 1e-12))
+    grads = {**grads,
+             "rnn": jax.tree_util.tree_map(lambda g: g * scale, grads["rnn"])}
+
+    updates, opt_state = trainer.optimizer.update(grads, state.opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    new_state = state.replace(
+        rnn_params=trainable["rnn"],
+        cnn_head_params=trainable["cnn_heads"],
+        opt_state=opt_state,
+        step=state.step + 1,
+        key=key,
+    )
+    metrics = {"loss": loss, "rnn_grad_norm": gnorm, **parts}
+    return new_state, metrics
+
 
 def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
                 batch: Dict[str, jax.Array]):
     cfg = trainer.cfg
     key, k_drop = jax.random.split(state.key)
-    batch_size = batch["tokens"].shape[0]
-    labels = jnp.arange(batch_size)                 # match labels (trainer.py:20-25)
+    labels = jnp.arange(batch["tokens"].shape[0])  # match labels (trainer.py:20-25)
     mask = word_mask(batch["lengths"], trainer.seq_len)
 
     def loss_fn(trainable):
@@ -149,24 +295,30 @@ def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
         )
         return total, parts
 
-    trainable = {"rnn": state.rnn_params, "cnn_heads": state.cnn_head_params}
-    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+    return _damsm_update(trainer, state, key, loss_fn)
 
-    # clip_grad_norm_(RNN.parameters(), 0.25) — RNN subtree only (:132)
-    rnn_leaves = jax.tree_util.tree_leaves(grads["rnn"])
-    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in rnn_leaves))
-    scale = jnp.minimum(1.0, cfg.rnn_grad_clip / jnp.maximum(gnorm, 1e-12))
-    grads = {**grads,
-             "rnn": jax.tree_util.tree_map(lambda g: g * scale, grads["rnn"])}
 
-    updates, opt_state = trainer.optimizer.update(grads, state.opt_state, trainable)
-    trainable = optax.apply_updates(trainable, updates)
-    new_state = state.replace(
-        rnn_params=trainable["rnn"],
-        cnn_head_params=trainable["cnn_heads"],
-        opt_state=opt_state,
-        step=state.step + 1,
-        key=key,
-    )
-    metrics = {"loss": loss, "rnn_grad_norm": gnorm, **parts}
-    return new_state, metrics
+def _damsm_step_cached(trainer: DamsmTrainer, state: DamsmState,
+                       batch: Dict[str, jax.Array]):
+    cfg = trainer.cfg
+    key, k_drop = jax.random.split(state.key)
+    labels = jnp.arange(batch["tokens"].shape[0])
+    mask = word_mask(batch["lengths"], trainer.seq_len)
+    trunk_regions = batch["trunk_regions"].astype(jnp.float32)
+    trunk_pooled = batch["trunk_pooled"].astype(jnp.float32)
+
+    def loss_fn(trainable):
+        word_embs, sent_embs = trainer.rnn.apply(
+            {"params": trainable["rnn"]}, batch["tokens"], batch["lengths"],
+            train=True, rngs={"dropout": k_drop},
+        )
+        regions, cnn_code = _apply_heads(trainable["cnn_heads"],
+                                         trunk_regions, trunk_pooled)
+        total, parts, _ = damsm_loss(
+            regions, cnn_code, word_embs, sent_embs, labels, mask,
+            batch["class_ids"], cfg.gamma1, cfg.gamma2, cfg.gamma3,
+            cfg.wlambda, cfg.slambda,
+        )
+        return total, parts
+
+    return _damsm_update(trainer, state, key, loss_fn)

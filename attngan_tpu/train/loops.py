@@ -49,6 +49,11 @@ def run_damsm_training(
                                seq_len=seq_len)
     if state is None:
         state = trainer.init_state(run_cfg.seed, pretrained_cnn=pretrained_cnn)
+    cache = None
+    if cfg.cache_region_features:
+        print("precomputing frozen-trunk region features for "
+              f"{len(dataset.records)} images ...")
+        cache = trainer.precompute_trunk_features(state, dataset)
     mesh = make_mesh()
     state = replicate(state, mesh)
 
@@ -59,11 +64,23 @@ def run_damsm_training(
                                                seed=run_cfg.seed + epoch):
             if _skip_batch(host_batch, cfg.batch_size):
                 continue
-            device_batch = dataset.device_batch(host_batch)
-            batch = shard_batch(
-                {k: device_batch[k]
-                 for k in ("tokens", "lengths", "class_ids", "img256")}, mesh)
-            state, metrics = trainer.train_step(state, batch)
+            if cache is not None:
+                idx = host_batch["indices"]
+                batch = shard_batch({
+                    "tokens": jnp.asarray(host_batch["tokens"]),
+                    "lengths": jnp.asarray(host_batch["lengths"]),
+                    "class_ids": jnp.asarray(host_batch["class_ids"]),
+                    "trunk_regions": jnp.asarray(cache["regions"][idx]),
+                    "trunk_pooled": jnp.asarray(cache["pooled"][idx]),
+                }, mesh)
+                state, metrics = trainer.train_step_cached(state, batch)
+            else:
+                device_batch = dataset.device_batch(host_batch)
+                batch = shard_batch(
+                    {k: device_batch[k]
+                     for k in ("tokens", "lengths", "class_ids", "img256")},
+                    mesh)
+                state, metrics = trainer.train_step(state, batch)
             timer.tick()
             history.append(float(metrics["loss"]))
             if len(history) % run_cfg.log_every == 0:

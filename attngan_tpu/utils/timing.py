@@ -14,6 +14,7 @@ import time
 from typing import Any, Callable
 
 import jax
+import numpy as np
 
 
 def block(tree: Any) -> Any:
@@ -46,6 +47,15 @@ def profile_trace(logdir: str, enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def count_parameters(params, name: str = "model", verbose: bool = True) -> int:
+    """Total parameter count of a pytree (reference trainer.py:27-31)."""
+    total = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(params))
+    if verbose:
+        print(f"Model {name} has {total} parameters")
+    return total
 
 
 class StepTimer:

@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--pretrained-cnn", default="",
                    help="msgpack from tools/convert_torch_weights.py")
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--cache-features", action="store_true",
+                   help="precompute frozen-trunk region features once and "
+                        "train against the cache (removes the Inception "
+                        "forward from every step)")
     p.add_argument("--checkpoint-dir", default=Config.CHECKPOINT_DIR)
     p.add_argument("--image-dir", default=Config.IMAGE_DIR)
     p.add_argument("--seed", type=int, default=0)
@@ -87,7 +91,8 @@ def main():
     cfg = DamsmConfig(emb_dim=args.emb_dim, batch_size=args.batch_size,
                       lr=args.lr, epochs=args.epochs,
                       image_encoder=args.image_encoder,
-                      compute_dtype=args.compute_dtype)
+                      compute_dtype=args.compute_dtype,
+                      cache_region_features=args.cache_features)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
                         image_dir=args.image_dir)
     pretrained = None

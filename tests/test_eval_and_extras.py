@@ -1,0 +1,114 @@
+"""FID harness, conv solver, training helpers, clustering grids,
+cached DAMSM fast path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attngan_tpu.eval.fid import activation_statistics, frechet_distance
+
+
+def test_frechet_distance_zero_for_identical():
+    mu = np.array([1.0, 2.0])
+    sigma = np.array([[1.0, 0.2], [0.2, 1.0]])
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_distance_matches_gaussian_formula(rng):
+    """For diagonal covariances the FD has a closed form."""
+    mu1, mu2 = np.zeros(3), np.ones(3)
+    s1 = np.diag([1.0, 2.0, 3.0])
+    s2 = np.diag([2.0, 2.0, 1.0])
+    expected = (np.sum((mu1 - mu2) ** 2)
+                + np.sum(np.diag(s1) + np.diag(s2)
+                         - 2 * np.sqrt(np.diag(s1) * np.diag(s2))))
+    got = frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_fid_evaluator_orders_similarity(rng):
+    """FID(real, near-real) must be < FID(real, noise)."""
+    from attngan_tpu.eval.fid import FIDEvaluator
+
+    feature_fn = lambda x: jnp.mean(x, axis=(1, 2))  # cheap 3-d features
+    ev = FIDEvaluator(feature_fn=feature_fn, batch_size=8)
+    real = rng.standard_normal((32, 8, 8, 3)).astype(np.float32)
+    near = real + rng.standard_normal(real.shape).astype(np.float32) * 0.05
+    far = rng.standard_normal(real.shape).astype(np.float32) * 3 + 2
+    assert ev.fid(real, near) < ev.fid(real, far)
+
+
+def test_conv_solver_matches_reference_search():
+    from attngan_tpu.ops.layers import calculate_out_hw, solve_conv_params
+
+    k, s, p = solve_conv_params(64, 32)
+    assert calculate_out_hw(64, k, s, p) == 32
+    # preference order: kernel desc, then pad desc, then stride desc
+    assert (k, s, p) == max(
+        [(kk, ss, pp) for kk in range(1, 5) for ss in range(1, 4)
+         for pp in range(4) if calculate_out_hw(64, kk, ss, pp) == 32],
+        key=lambda x: (x[0], x[2], x[1]))
+    with pytest.raises(ValueError):
+        solve_conv_params(8, 7, max_kern=1, max_stride=1, max_pad=0)
+
+
+def test_training_helpers():
+    from attngan_tpu.utils.training import (
+        noise_vector,
+        scale_1_to_255,
+        scale_255_to_1,
+    )
+
+    imgs = jnp.asarray([[0.0, 127.5, 255.0]])
+    scaled = scale_255_to_1(imgs)
+    np.testing.assert_allclose(np.asarray(scaled), [[-1.0, 0.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(scale_1_to_255(scaled)),
+                               np.asarray(imgs))
+    z = noise_vector(jax.random.key(0), 4, 16)
+    assert z.shape == (4, 16)
+
+
+def test_evaluate_clustering_writes_grids(tmp_path):
+    from attngan_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(num_images=12, num_classes=3, res=32)
+    counts = ds.evaluate_clustering(0, max_images=6, nrow=3,
+                                    folder=str(tmp_path))
+    assert len(counts) == len(ds.records[0].caption)
+    assert all((tmp_path / f"k-{k}.png").exists() for k in counts)
+
+
+def test_damsm_cached_step_matches_uncached(rng):
+    """The cached-trunk fast path must produce the same loss trajectory as
+    the full forward (trunk frozen => features are step-invariant)."""
+    from attngan_tpu.core.config import DamsmConfig
+    from attngan_tpu.data.synthetic import make_synthetic_dataset
+    from attngan_tpu.train.damsm_trainer import DamsmTrainer
+
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=4,
+                      image_encoder="tiny", compute_dtype="")
+    ds = make_synthetic_dataset(num_images=4, num_classes=2, res=64)
+    ds.build_vocab()
+    trainer = DamsmTrainer(cfg, vocab_size=ds.vocab.n_words,
+                           seq_len=ds.max_seqlen, image_res=64)
+    state_a = trainer.init_state(seed=0)
+    state_b = trainer.init_state(seed=0)
+
+    cache = trainer.precompute_trunk_features(state_a, ds, batch_size=4)
+    assert cache["regions"].shape[0] == 4
+
+    host = next(ds.iter_batches(4, shuffle=False))
+    dev = ds.device_batch(host)
+    batch_full = {k: dev[k] for k in ("tokens", "lengths", "class_ids", "img256")}
+    batch_cached = {
+        "tokens": dev["tokens"], "lengths": dev["lengths"],
+        "class_ids": dev["class_ids"],
+        "trunk_regions": jnp.asarray(cache["regions"][host["indices"]]),
+        "trunk_pooled": jnp.asarray(cache["pooled"][host["indices"]]),
+    }
+    _, m_full = trainer.train_step(state_a, batch_full)
+    _, m_cached = trainer.train_step_cached(state_b, batch_cached)
+    # fp16 cache storage costs a little precision
+    np.testing.assert_allclose(float(m_full["loss"]),
+                               float(m_cached["loss"]), rtol=2e-2)
