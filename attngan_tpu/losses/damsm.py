@@ -69,7 +69,13 @@ def words_loss(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scalar loss, diagonal attention maps (B, L, R))."""
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        # Measured on v5e (B=64, R=289, D=256): XLA's batched-einsum form is
+        # faster than the per-pair Pallas kernel (1.6 ms vs 5.9 ms fwd) —
+        # the pairwise chain is MXU-batchable and XLA fuses it well, while
+        # the kernel's per-text fori_loop serializes tiny matmuls. The
+        # kernel remains available (fused=True) for HBM-constrained regimes;
+        # default is the vmap form, which also SPMD-partitions cleanly.
+        fused = False
     if fused:
         from attngan_tpu.ops.pallas_damsm import words_loss_pallas
 

@@ -23,10 +23,10 @@ TPU-native restructuring (same update semantics, no retain_graph):
     trainer.py:117-127).
 
 Data parallel: batch args sharded over the 'data' mesh axis; XLA psums
-gradients and handles the global BxB DAMSM similarity under SPMD. BN stats
-are per-replica batch-computed then globally averaged by the psum of the
-stat updates (torch reference is single-device so has no stance; documented
-design decision per SURVEY.md §5.8).
+gradients and handles the global BxB DAMSM similarity under SPMD. BatchNorm
+under SPMD reduces over the GLOBAL batch (the batch-axis mean/var become
+cross-replica all-reduces) — i.e. sync-BN semantics, the principled choice
+the single-device torch reference never had to make (SURVEY.md §5.8).
 """
 
 from __future__ import annotations

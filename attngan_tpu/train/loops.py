@@ -19,6 +19,7 @@ import numpy as np
 
 from attngan_tpu.core.config import DamsmConfig, GanConfig, RunConfig
 from attngan_tpu.data.dataset import Dataset
+from attngan_tpu.data.prefetch import prefetch
 from attngan_tpu.infer.sampler import denormalize
 from attngan_tpu.parallel import make_mesh, replicate, shard_batch
 from attngan_tpu.train.checkpoint import save_checkpoint
@@ -57,29 +58,31 @@ def run_damsm_training(
     mesh = make_mesh()
     state = replicate(state, mesh)
 
+    def to_device(host_batch):
+        if cache is not None:
+            idx = host_batch["indices"]
+            return shard_batch({
+                "tokens": jnp.asarray(host_batch["tokens"]),
+                "lengths": jnp.asarray(host_batch["lengths"]),
+                "class_ids": jnp.asarray(host_batch["class_ids"]),
+                "trunk_regions": jnp.asarray(cache["regions"][idx]),
+                "trunk_pooled": jnp.asarray(cache["pooled"][idx]),
+            }, mesh)
+        device_batch = dataset.device_batch(host_batch)
+        return shard_batch(
+            {k: device_batch[k]
+             for k in ("tokens", "lengths", "class_ids", "img256")}, mesh)
+
     history = []
     timer = StepTimer()
     for epoch in range(1, cfg.epochs + 1):
-        for host_batch in dataset.iter_batches(cfg.batch_size, seq_len,
-                                               seed=run_cfg.seed + epoch):
-            if _skip_batch(host_batch, cfg.batch_size):
-                continue
+        batches = (b for b in dataset.iter_batches(cfg.batch_size, seq_len,
+                                                   seed=run_cfg.seed + epoch)
+                   if not _skip_batch(b, cfg.batch_size))
+        for batch in prefetch(batches, to_device):
             if cache is not None:
-                idx = host_batch["indices"]
-                batch = shard_batch({
-                    "tokens": jnp.asarray(host_batch["tokens"]),
-                    "lengths": jnp.asarray(host_batch["lengths"]),
-                    "class_ids": jnp.asarray(host_batch["class_ids"]),
-                    "trunk_regions": jnp.asarray(cache["regions"][idx]),
-                    "trunk_pooled": jnp.asarray(cache["pooled"][idx]),
-                }, mesh)
                 state, metrics = trainer.train_step_cached(state, batch)
             else:
-                device_batch = dataset.device_batch(host_batch)
-                batch = shard_batch(
-                    {k: device_batch[k]
-                     for k in ("tokens", "lengths", "class_ids", "img256")},
-                    mesh)
                 state, metrics = trainer.train_step(state, batch)
             timer.tick()
             history.append(float(metrics["loss"]))
@@ -124,16 +127,18 @@ def run_gan_training(
     timer = StepTimer()
     step_count = 0
     image_keys = [f"img{res}" for res in cfg.resolutions]
+
+    def to_device(host_batch):
+        device_batch = dataset.device_batch(host_batch)
+        return shard_batch(
+            {k: device_batch[k]
+             for k in ("tokens", "lengths", "class_ids", *image_keys)}, mesh)
+
     for epoch in range(1, cfg.epochs + 1):
-        for host_batch in dataset.iter_batches(cfg.batch_size, cfg.seq_len,
-                                               seed=run_cfg.seed + epoch):
-            if _skip_batch(host_batch, cfg.batch_size):
-                continue
-            device_batch = dataset.device_batch(host_batch)
-            batch = shard_batch(
-                {k: device_batch[k]
-                 for k in ("tokens", "lengths", "class_ids", *image_keys)},
-                mesh)
+        batches = (b for b in dataset.iter_batches(cfg.batch_size, cfg.seq_len,
+                                                   seed=run_cfg.seed + epoch)
+                   if not _skip_batch(b, cfg.batch_size))
+        for batch in prefetch(batches, to_device):
             last_embed = (batch["tokens"], batch["lengths"])
             state, metrics = trainer.train_step(state, batch)
             timer.tick()
