@@ -9,6 +9,8 @@ step counter. Here the ENTIRE state (params + every optimizer state + step
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Any, Optional
 
@@ -17,12 +19,26 @@ import orbax.checkpoint as ocp
 from flax import serialization
 
 
-def save_checkpoint(directory: str, state: Any, step: int) -> str:
+def save_checkpoint(directory: str, state: Any, step: int,
+                    config: Any = None) -> str:
     directory = os.path.abspath(directory)
     path = os.path.join(directory, f"step_{step:08d}")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)  # overwrite same-step re-runs
+    if config is not None:
+        # Sidecar with the model-shape config: restoring with mismatched
+        # dims otherwise fails deep inside orbax with a raw shape error.
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(config), f, indent=2)
     return path
+
+
+def load_config_sidecar(directory: str) -> Optional[dict]:
+    path = os.path.join(os.path.abspath(directory), "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

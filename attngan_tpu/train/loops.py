@@ -92,7 +92,7 @@ def run_damsm_training(
                       f"({timer.steps_per_sec:.2f} steps/s)")
         if epoch % run_cfg.checkpoint_every_epochs == 0:
             save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "damsm"),
-                            jax.device_get(state), int(state.step))
+                            jax.device_get(state), int(state.step), cfg)
             if history:
                 plot_history(history,
                              os.path.join(run_cfg.image_dir,
@@ -152,7 +152,7 @@ def run_gan_training(
         # per-epoch snapshot (reference train.py:154-162)
         if epoch % run_cfg.checkpoint_every_epochs == 0:
             save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "gan"),
-                            jax.device_get(state), int(state.step))
+                            jax.device_get(state), int(state.step), cfg)
             if last_embed is not None:
                 _sample_grid(trainer, state, last_embed, fixed_noise,
                              epoch, run_cfg, mesh)

@@ -37,17 +37,25 @@ def main():
     tokens = jnp.asarray(rng.integers(0, vocab, (batch, cfg.seq_len)), jnp.int32)
     lengths = jnp.full((batch,), cfg.seq_len, jnp.int32)
 
-    # compile + warmup
+    # compile + warmup. Timing methodology: block_until_ready alone does not
+    # reliably fence independent dispatches through the remote-device tunnel
+    # (independent calls may be reordered past the fence), so every
+    # iteration's output is folded into an ON-DEVICE scalar accumulator —
+    # a true data dependency across all iterations — and ONE host readback
+    # of that scalar ends the clock.
     imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(0))
-    jax.block_until_ready(imgs)
+    assert float(jnp.sum(imgs)) >= 0.0
     assert imgs.shape == (batch, 256, 256, 3)
 
-    iters = 20
+    iters = 50
+    acc = jnp.zeros(())
     start = time.perf_counter()
     for i in range(iters):
         imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(i))
-    jax.block_until_ready(imgs)
+        acc = acc + jnp.sum(imgs)       # device-side dependency chain
+    checksum = float(acc)               # single d2h readback = end of work
     dt = time.perf_counter() - start
+    assert np.isfinite(checksum)
 
     rate = batch * iters / dt
     print(json.dumps({

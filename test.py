@@ -63,10 +63,22 @@ def main():
     from attngan_tpu.utils.imaging import save_image
 
     handler = CaptionHandler(args.captions_path)
-    cfg = GanConfig(gf_dim=args.gf_dim, df_dim=args.df_dim,
-                    emb_dim=args.emb_dim,
-                    seq_len=args.seq_len, num_stages=args.num_stages,
-                    image_encoder=args.image_encoder,
+    from attngan_tpu.train.checkpoint import load_config_sidecar
+
+    sidecar = load_config_sidecar(args.checkpoint) or {}
+    if sidecar:
+        print(f"using model config recorded at training time: "
+              f"{ {k: sidecar[k] for k in ('gf_dim', 'df_dim', 'emb_dim', 'num_stages', 'seq_len', 'image_encoder') if k in sidecar} }")
+
+    def flag(name, default):
+        return sidecar.get(name, default)
+
+    cfg = GanConfig(gf_dim=flag("gf_dim", args.gf_dim),
+                    df_dim=flag("df_dim", args.df_dim),
+                    emb_dim=flag("emb_dim", args.emb_dim),
+                    seq_len=flag("seq_len", args.seq_len),
+                    num_stages=flag("num_stages", args.num_stages),
+                    image_encoder=flag("image_encoder", args.image_encoder),
                     compute_dtype=args.compute_dtype)
     trainer = GanTrainer(cfg, vocab_size=handler.vocab_size)
     state = trainer.init_state(seed=args.seed)
