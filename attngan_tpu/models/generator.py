@@ -79,7 +79,11 @@ class NextStage(nn.Module):
     gf_dim: int
     num_residual: int = 2
     dtype: jnp.dtype | None = None
-    fused_attention: bool = True  # route through the Pallas kernel on TPU
+    # Measured on v5e at reference dims (gf=32, B=128, 3 stages): the XLA
+    # bmm->mask->softmax->bmm chain beats the fused Pallas kernel (51 ms vs
+    # 71 ms/batch) — at C=gf=32 the kernel wastes 3/4 of the 128-wide vector
+    # lanes. Flip on for wide-channel variants where the fusion pays.
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, images, word_embs, mask, train: bool = True):
@@ -124,7 +128,7 @@ class Generator(nn.Module):
     cond_dim: int = 100
     num_stages: int = 3           # 1=64px, 2=+128, 3=+256
     dtype: jnp.dtype | None = None
-    fused_attention: bool = True
+    fused_attention: bool = False  # see NextStage.fused_attention
 
     @nn.compact
     def __call__(
