@@ -22,7 +22,25 @@ from attngan_tpu.data.dataset import Dataset
 from attngan_tpu.data.prefetch import prefetch
 from attngan_tpu.infer.sampler import denormalize
 from attngan_tpu.parallel import make_mesh, replicate, shard_batch
-from attngan_tpu.train.checkpoint import save_checkpoint
+from attngan_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def _maybe_resume(state, directory: str, resume: bool):
+    """Exact resume from the newest checkpoint (params + every optimizer
+    state + step + PRNG key) — the reference's per-epoch pickles could not
+    resume optimizers at all (Adam name collision, SURVEY.md §3.2)."""
+    if not resume:
+        return state
+    ckpt = latest_checkpoint(directory)
+    if ckpt is None:
+        print(f"--resume: no checkpoint under {directory}, starting fresh")
+        return state
+    print(f"resuming from {ckpt}")
+    return restore_checkpoint(ckpt, state)
 from attngan_tpu.train.damsm_trainer import DamsmState, DamsmTrainer
 from attngan_tpu.train.gan_trainer import GanState, GanTrainer
 from attngan_tpu.utils.imaging import plot_history, save_image_grids
@@ -42,6 +60,7 @@ def run_damsm_training(
     state: Optional[DamsmState] = None,
     trainer: Optional[DamsmTrainer] = None,
     pretrained_cnn: Optional[dict] = None,
+    resume: bool = False,
 ):
     dataset.build_vocab()
     seq_len = max(dataset.max_seqlen, 1)
@@ -50,6 +69,8 @@ def run_damsm_training(
                                seq_len=seq_len)
     if state is None:
         state = trainer.init_state(run_cfg.seed, pretrained_cnn=pretrained_cnn)
+        state = _maybe_resume(
+            state, os.path.join(run_cfg.checkpoint_dir, "damsm"), resume)
     cache = None
     if cfg.cache_region_features:
         print("precomputing frozen-trunk region features for "
@@ -110,6 +131,7 @@ def run_gan_training(
     trainer: Optional[GanTrainer] = None,
     rnn_params=None,
     cnn_variables=None,
+    resume: bool = False,
 ):
     dataset.build_vocab()
     if trainer is None:
@@ -117,6 +139,8 @@ def run_gan_training(
     if state is None:
         state = trainer.init_state(run_cfg.seed, rnn_params=rnn_params,
                                    cnn_variables=cnn_variables)
+        state = _maybe_resume(
+            state, os.path.join(run_cfg.checkpoint_dir, "gan"), resume)
     mesh = make_mesh()
     state = replicate(state, mesh)
 

@@ -52,6 +52,9 @@ def parse_args():
                         "forward from every step)")
     p.add_argument("--checkpoint-dir", default=Config.CHECKPOINT_DIR)
     p.add_argument("--image-dir", default=Config.IMAGE_DIR)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint (exact resume: "
+                        "params + optimizer states + step + PRNG key)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -100,7 +103,8 @@ def main():
         from attngan_tpu.train.checkpoint import load_converted
 
         pretrained = load_converted(args.pretrained_cnn)
-    run_damsm_training(cfg, run_cfg, dataset, pretrained_cnn=pretrained)
+    run_damsm_training(cfg, run_cfg, dataset, pretrained_cnn=pretrained,
+                       resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,8 @@ def parse_args():
                    help="orbax DAMSM checkpoint dir/step to restore encoders")
     p.add_argument("--checkpoint-dir", default=Config.CHECKPOINT_DIR)
     p.add_argument("--image-dir", default=Config.IMAGE_DIR)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest GAN checkpoint")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -96,7 +98,7 @@ def main():
             args.damsm_checkpoint, cfg, dataset.vocab.n_words, args.seq_len)
 
     run_gan_training(cfg, run_cfg, dataset, rnn_params=rnn_params,
-                     cnn_variables=cnn_vars)
+                     cnn_variables=cnn_vars, resume=args.resume)
 
 
 if __name__ == "__main__":
