@@ -27,7 +27,9 @@ def main():
     from attngan_tpu.infer.sampler import Sampler
     from attngan_tpu.train.gan_trainer import GanTrainer
 
-    vocab, batch = 1000, 128
+    import os
+    vocab = 1000
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     cfg = GanConfig(compute_dtype="bfloat16")
     trainer = GanTrainer(cfg, vocab_size=vocab)
     state = trainer.init_state(seed=0)
