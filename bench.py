@@ -29,7 +29,7 @@ def main():
 
     import os
     vocab = 1000
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     cfg = GanConfig(compute_dtype="bfloat16")
     trainer = GanTrainer(cfg, vocab_size=vocab)
     state = trainer.init_state(seed=0)
