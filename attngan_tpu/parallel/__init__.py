@@ -2,6 +2,7 @@ from attngan_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
     make_mesh,
+    make_mesh_for_batch,
     replicate,
     replicated,
     shard_batch,
@@ -11,6 +12,7 @@ __all__ = [
     "DATA_AXIS",
     "batch_sharding",
     "make_mesh",
+    "make_mesh_for_batch",
     "replicate",
     "replicated",
     "shard_batch",

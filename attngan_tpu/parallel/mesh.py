@@ -29,6 +29,18 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=(DATA_AXIS,))
 
 
+def make_mesh_for_batch(batch_size: int,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """A 1-D data mesh using the most devices that evenly divide the global
+    batch (a 4-sample batch on an 8-device host uses 4 devices)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -21,12 +21,18 @@ from attngan_tpu.core.config import DamsmConfig, GanConfig, RunConfig
 from attngan_tpu.data.dataset import Dataset
 from attngan_tpu.data.prefetch import prefetch
 from attngan_tpu.infer.sampler import denormalize
-from attngan_tpu.parallel import make_mesh, replicate, shard_batch
+from attngan_tpu.parallel import make_mesh_for_batch, replicate, shard_batch
 from attngan_tpu.train.checkpoint import (
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
 )
+
+
+from attngan_tpu.train.damsm_trainer import DamsmState, DamsmTrainer
+from attngan_tpu.train.gan_trainer import GanState, GanTrainer
+from attngan_tpu.utils.imaging import plot_history, save_image_grids
+from attngan_tpu.utils.timing import StepTimer
 
 
 def _maybe_resume(state, directory: str, resume: bool):
@@ -41,10 +47,6 @@ def _maybe_resume(state, directory: str, resume: bool):
         return state
     print(f"resuming from {ckpt}")
     return restore_checkpoint(ckpt, state)
-from attngan_tpu.train.damsm_trainer import DamsmState, DamsmTrainer
-from attngan_tpu.train.gan_trainer import GanState, GanTrainer
-from attngan_tpu.utils.imaging import plot_history, save_image_grids
-from attngan_tpu.utils.timing import StepTimer
 
 
 def _skip_batch(host_batch, batch_size: int) -> bool:
@@ -76,7 +78,7 @@ def run_damsm_training(
         print("precomputing frozen-trunk region features for "
               f"{len(dataset.records)} images ...")
         cache = trainer.precompute_trunk_features(state, dataset)
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.batch_size)
     state = replicate(state, mesh)
 
     def to_device(host_batch):
@@ -141,7 +143,7 @@ def run_gan_training(
                                    cnn_variables=cnn_variables)
         state = _maybe_resume(
             state, os.path.join(run_cfg.checkpoint_dir, "gan"), resume)
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(cfg.batch_size)
     state = replicate(state, mesh)
 
     losses: Dict[str, list] = defaultdict(list)
