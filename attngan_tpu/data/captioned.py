@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from attngan_tpu.data.dataset import Dataset, Record, decode_image
 

@@ -10,13 +10,12 @@ final 256x256 images. Here the whole device path (text encoder + generator
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attngan_tpu.core.config import GanConfig
 from attngan_tpu.data.captions import CaptionHandler
 from attngan_tpu.data.dataset import word_mask
 from attngan_tpu.train.gan_trainer import GanState, GanTrainer

@@ -21,7 +21,7 @@ explicit: callers pass a PRNG key instead of the reference's implicit
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ VGG19-BN trunk can be dropped for tests or replaced after weight conversion.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

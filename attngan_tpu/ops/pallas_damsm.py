@@ -18,7 +18,7 @@ Backward: custom_vjp recomputing through the jnp path (rematerialization).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

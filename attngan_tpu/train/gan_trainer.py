@@ -32,7 +32,7 @@ the single-device torch reference never had to make (SURVEY.md §5.8).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ explicit PRNG key (the reference used implicit torch.randn).
 
 from __future__ import annotations
 
-from typing import List
+
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from attngan_tpu.core.config import DamsmConfig, GanConfig
+from attngan_tpu.core.config import DamsmConfig
 from attngan_tpu.train.checkpoint import (
     latest_checkpoint,
     load_config_sidecar,

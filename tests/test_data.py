@@ -4,7 +4,6 @@ import json
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from attngan_tpu.data import (
     CaptionHandler,

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from attngan_tpu.core.config import DamsmConfig, GanConfig, replace
+from attngan_tpu.core.config import DamsmConfig, GanConfig
 from attngan_tpu.train.damsm_trainer import DamsmTrainer
 from attngan_tpu.train.gan_trainer import GanTrainer
 

@@ -4,7 +4,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from attngan_tpu.models.vae import (
     AutoEncoder,
