@@ -88,6 +88,10 @@ class GanTrainer:
         self._step_fn = jax.jit(
             functools.partial(_gan_step, self), donate_argnums=(0,)
         )
+        self._generate_fn = jax.jit(functools.partial(_generate, self))
+        self._embed_fn = jax.jit(
+            lambda params, tokens, lengths: self.rnn.apply(
+                {"params": params}, tokens, lengths, train=False))
 
     # ---- init ----
 
@@ -148,16 +152,21 @@ class GanTrainer:
     # ---- inference helpers ----
 
     def embed_text(self, state: GanState, tokens, lengths):
-        return self.rnn.apply({"params": state.rnn_params}, tokens, lengths,
-                              train=False)
+        return self._embed_fn(state.rnn_params, tokens, lengths)
 
     def generate(self, state: GanState, noise, sent_embs, word_embs, mask, rng):
-        """Eval-mode cascade (BN running stats), returns per-stage images."""
-        fakes, attns, mu, logvar = self.generator.apply(
-            {"params": state.gen_params, "batch_stats": state.gen_stats},
-            noise, sent_embs, word_embs, mask, rng, train=False,
-        )
-        return fakes, attns, mu, logvar
+        """Eval-mode cascade (BN running stats), returns per-stage images.
+        jit-compiled: an eager apply dispatches thousands of individual ops,
+        which is pathological through a remote-device tunnel."""
+        return self._generate_fn(state, noise, sent_embs, word_embs, mask, rng)
+
+
+def _generate(trainer: "GanTrainer", state: GanState, noise, sent_embs,
+              word_embs, mask, rng):
+    return trainer.generator.apply(
+        {"params": state.gen_params, "batch_stats": state.gen_stats},
+        noise, sent_embs, word_embs, mask, rng, train=False,
+    )
 
 
 def _disc_loss_and_stats(trainer, res, params, stats, fake, real, rng):
