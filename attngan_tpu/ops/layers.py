@@ -94,22 +94,30 @@ class TorchBatchNorm(nn.Module):
                                 lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
-        xf = x.astype(jnp.float32)
         if self.use_running_average:
-            mean, var = ra_mean.value, ra_var.value
-        else:
-            axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf - mean.reshape(
-                (1,) * (x.ndim - 1) + (-1,))), axis=axes)
-            if not self.is_initializing():
-                n = 1
-                for dim in x.shape[:-1]:
-                    n *= dim
-                unbiased = var * (n / max(n - 1, 1))
-                m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+            # Inference fast path: fold stats+affine into one multiply-add
+            # computed in the model dtype (k, b are fp32 constants folded at
+            # compile time; avoids fp32 cast round-trips in bf16 graphs).
+            k = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            b = bias - ra_mean.value * k
+            shape = (1,) * (x.ndim - 1) + (-1,)
+            y = x * k.reshape(shape).astype(x.dtype) \
+                + b.reshape(shape).astype(x.dtype)
+            return y.astype(x.dtype if self.dtype is None else self.dtype)
+        # Train mode: batch statistics (fp32) + running-average updates.
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf - mean.reshape(
+            (1,) * (x.ndim - 1) + (-1,))), axis=axes)
+        if not self.is_initializing():
+            n = 1
+            for dim in x.shape[:-1]:
+                n *= dim
+            unbiased = var * (n / max(n - 1, 1))
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * unbiased
         shape = (1,) * (x.ndim - 1) + (-1,)
         y = (xf - mean.reshape(shape)) * jax.lax.rsqrt(
             var.reshape(shape) + self.epsilon)
