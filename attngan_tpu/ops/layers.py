@@ -163,16 +163,86 @@ def conv_for_output(features: int, in_hw: int, out_hw: int, use_bias=False,
                    name=name, dtype=dtype)
 
 
+def upsample_conv3x3_fused(x: jax.Array, kernel: jax.Array,
+                           dtype=None) -> jax.Array:
+    """conv3x3(nearest_upsample_2x(x)) WITHOUT materializing the 4x tensor.
+
+    Exact parity decomposition: on the nearest-upsampled grid, every output
+    pixel of parity (py, px) sees a 3x3 window whose entries collapse onto a
+    2x2 neighborhood of the ORIGINAL grid — adjacent taps that land on the
+    same source pixel sum their weights. So the op equals FOUR 2x2 convs
+    (one per parity, kernels derived from the 3x3 weights by pairwise sums)
+    followed by a pixel interleave. 2.25x fewer MXU tap-multiplies and no
+    (B, 2H, 2W, C_in) intermediate in HBM; boundary-exact vs zero padding
+    (verified to fp32 tolerance in tests/test_layers.py).
+    """
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    b, h, w_dim, _ = x.shape
+    c_out = kernel.shape[-1]
+
+    # Row-parity collapse: parity 0 rows read (i-1, i); parity 1 read (i, i+1)
+    w_r0 = jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0)  # (2,3,Ci,Co)
+    w_r1 = jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0)
+    # Column-parity collapse of each
+    def cols(wk):
+        return (jnp.stack([wk[:, 0], wk[:, 1] + wk[:, 2]], axis=1),
+                jnp.stack([wk[:, 0] + wk[:, 1], wk[:, 2]], axis=1))
+
+    k00, k01 = cols(w_r0)
+    k10, k11 = cols(w_r1)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(xs, k):
+        return jax.lax.conv_general_dilated(
+            xs, k, (1, 1), "VALID", dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    y00 = conv(xp[:, : h + 1, : w_dim + 1], k00)   # rows (i-1,i), cols (j-1,j)
+    y01 = conv(xp[:, : h + 1, 1:], k01)            # rows (i-1,i), cols (j,j+1)
+    y10 = conv(xp[:, 1:, : w_dim + 1], k10)        # rows (i,i+1), cols (j-1,j)
+    y11 = conv(xp[:, 1:, 1:], k11)                 # rows (i,i+1), cols (j,j+1)
+
+    top = jnp.stack([y00, y01], axis=3).reshape(b, h, 2 * w_dim, c_out)
+    bot = jnp.stack([y10, y11], axis=3).reshape(b, h, 2 * w_dim, c_out)
+    return jnp.stack([top, bot], axis=2).reshape(b, 2 * h, 2 * w_dim, c_out)
+
+
 class UpBlock(nn.Module):
-    """2x nearest upsample -> conv3x3(out*2) -> BN -> GLU (layers.py:60-69)."""
+    """2x nearest upsample -> conv3x3(out*2) -> BN -> GLU (layers.py:60-69).
+
+    fused=True computes the upsample+conv via the exact parity decomposition
+    above; the parameter is still one (3,3,Cin,2*out) kernel, so both paths
+    share checkpoints. MEASURED on v5e at reference dims: the decomposition
+    LOSES despite 2.25x fewer tap-multiplies (2,751 vs 4,777 img/s end to
+    end) — four small convs plus strided interleave relayouts cost more than
+    the saved FLOPs, so the naive path is the default. Kept (and
+    equality-tested) as the starting point for a true Pallas block kernel.
+    """
 
     out_features: int
     dtype: jnp.dtype | None = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = upsample_nearest_2x(x)
-        x = conv3x3(self.out_features * 2, dtype=self.dtype)(x)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.out_features * 2))
+        if self.fused:
+            x = upsample_conv3x3_fused(x, kernel, self.dtype)
+        else:
+            x = upsample_nearest_2x(x)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                kernel = kernel.astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(x.dtype)
         x = batch_norm(train, dtype=self.dtype)(x)
         return glu(x)
 

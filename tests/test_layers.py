@@ -108,6 +108,33 @@ def test_block_shapes(rng, module, kw, in_shape, out_shape):
     assert jnp.all(jnp.isfinite(y))
 
 
+def test_upsample_conv_fusion_exact(rng):
+    """The parity-decomposed fused path == naive upsample+conv3x3, including
+    borders (zero padding)."""
+    from attngan_tpu.ops.layers import upsample_conv3x3_fused
+
+    x = rng.standard_normal((2, 7, 5, 6)).astype(np.float32)
+    kernel = rng.standard_normal((3, 3, 6, 10)).astype(np.float32) * 0.2
+    fused = np.asarray(upsample_conv3x3_fused(jnp.asarray(x),
+                                              jnp.asarray(kernel)))
+    up = np.asarray(L.upsample_nearest_2x(jnp.asarray(x)))
+    naive = jax.lax.conv_general_dilated(
+        jnp.asarray(up), jnp.asarray(kernel), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(fused, np.asarray(naive), rtol=1e-4, atol=1e-4)
+
+
+def test_upblock_fused_matches_naive(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    m_fused = L.UpBlock(out_features=8, fused=True)
+    m_naive = L.UpBlock(out_features=8, fused=False)
+    variables = m_fused.init(jax.random.key(0), x, train=False)
+    y_fused = m_fused.apply(variables, x, train=False)
+    y_naive = m_naive.apply(variables, x, train=False)  # shared param tree
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_naive),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_resblock_is_residual(rng):
     """Zeroing the block's final BN scale must make it the identity."""
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
