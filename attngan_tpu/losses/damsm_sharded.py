@@ -1,0 +1,108 @@
+"""Explicit-collective (shard_map) DAMSM loss for multi-chip training.
+
+SURVEY.md §5.8 calls the global-batch contrastive loss "the one genuinely
+communication-interesting piece of this rebuild": the B x B similarity
+matrix couples every image to every caption, so under data parallelism the
+pairwise attention work must either be replicated (what plain jit-SPMD
+chooses when it gathers the inputs) or explicitly sharded.
+
+This implementation shards the EXPENSIVE part — the O(B^2 * L * R) per-pair
+attention/cosine chain — by image rows: each device holds its local image
+shard, all-gathers the (small) text-side tensors over ICI, computes its
+rows of the similarity matrix locally, and finally all-gathers the tiny
+(B, B) matrix so the symmetric cross entropy (both softmax directions need
+full rows AND columns) is computed replicated. Communication per step:
+
+    all_gather(words (B, L, D) + sent (B, D) + masks)   ~ B*L*D floats
+    all_gather(sims (B, B))                             ~ B^2 floats
+
+versus jit-SPMD's gather of the (B, R, D) region features (R = 289 >> L).
+The row sharding also matches ops/pallas_damsm.py's grid (local images x
+all texts), so the fused kernel can slot into the per-shard compute.
+
+Numerically identical to losses/damsm.py::damsm_loss (tested on the
+8-device CPU mesh in tests/test_sharded_damsm.py).
+"""
+
+from __future__ import annotations
+
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from attngan_tpu.losses.damsm import (
+    EPS,
+    _class_mask,
+    _symmetric_ce,
+    sentence_loss as _sentence_loss_math,
+)
+from attngan_tpu.ops.attention import NEG_INF, damsm_attention
+from attngan_tpu.parallel.mesh import DATA_AXIS
+
+
+def _local_similarity_rows(local_regions, all_words, all_word_mask, gamma1,
+                           gamma2):
+    """sims rows for the LOCAL image shard vs ALL texts: (b_local, B)."""
+    batch_local = local_regions.shape[0]
+    wm = all_word_mask.astype(jnp.float32)
+
+    def per_text(words_i, mask_i):
+        query = jnp.broadcast_to(words_i[None], (batch_local,) + words_i.shape)
+        qmask = jnp.broadcast_to(mask_i[None], (batch_local, mask_i.shape[0]))
+        weighted, _ = damsm_attention(query, local_regions, gamma1, mask=qmask)
+        num = jnp.sum(query * weighted, axis=-1)
+        norms = (jnp.linalg.norm(query, axis=-1)
+                 * jnp.linalg.norm(weighted, axis=-1))
+        cos = num / jnp.maximum(norms, EPS)
+        return jnp.log(jnp.sum(jnp.exp(gamma2 * cos) * mask_i[None], axis=-1))
+
+    sims = jax.vmap(per_text)(all_words, wm)      # (B_text, b_local)
+    return sims.T                                  # (b_local, B_text)
+
+
+def make_sharded_damsm_loss(mesh: Mesh, gamma1=4.0, gamma2=5.0, gamma3=10.0,
+                            wlambda=5.0, slambda=5.0):
+    """Returns loss_fn(img_features, cnn_code, words_emb, sent_emb, labels,
+    word_mask, class_ids) with every batch arg sharded over 'data'; the
+    returned scalar is replicated. Differentiable (shard_map supports AD)."""
+
+    def local_fn(img_features, cnn_code, words_emb, sent_emb, labels,
+                 word_mask, class_ids):
+        # Gather the small text-side tensors over ICI.
+        all_words = jax.lax.all_gather(words_emb, DATA_AXIS, tiled=True)
+        all_mask = jax.lax.all_gather(word_mask, DATA_AXIS, tiled=True)
+        all_sent = jax.lax.all_gather(sent_emb, DATA_AXIS, tiled=True)
+        all_labels = jax.lax.all_gather(labels, DATA_AXIS, tiled=True)
+        all_class = (jax.lax.all_gather(class_ids, DATA_AXIS, tiled=True)
+                     if class_ids is not None else None)
+
+        # Sharded heavy compute: this device's image rows vs all texts.
+        rows = _local_similarity_rows(img_features, all_words, all_mask,
+                                      gamma1, gamma2)
+        # Tiny gather: full (B, B) similarity, replicated CE both ways.
+        sims = jax.lax.all_gather(rows, DATA_AXIS, tiled=True) * gamma3
+        if all_class is not None:
+            sims = jnp.where(_class_mask(all_class), NEG_INF, sims)
+        wloss = _symmetric_ce(sims, all_labels) * wlambda
+
+        all_code = jax.lax.all_gather(cnn_code, DATA_AXIS, tiled=True)
+        sloss = _sentence_loss_math(all_code, all_sent, all_labels, all_class,
+                                    gamma3, slambda)
+        return wloss + sloss
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(),
+        check_rep=False,
+    )
+
+    def loss_fn(img_features, cnn_code, words_emb, sent_emb, labels,
+                word_mask, class_ids):
+        return sharded(img_features, cnn_code, words_emb, sent_emb,
+                       labels, word_mask, class_ids)
+
+    return loss_fn
