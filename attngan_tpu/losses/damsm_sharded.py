@@ -90,19 +90,21 @@ def make_sharded_damsm_loss(mesh: Mesh, gamma1=4.0, gamma2=5.0, gamma3=10.0,
         all_code = jax.lax.all_gather(cnn_code, DATA_AXIS, tiled=True)
         sloss = _sentence_loss_math(all_code, all_sent, all_labels, all_class,
                                     gamma3, slambda)
-        return wloss + sloss
+        return wloss + sloss, wloss, sloss
 
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                   P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=P(),
+        out_specs=(P(), P(), P()),
         check_rep=False,
     )
 
     def loss_fn(img_features, cnn_code, words_emb, sent_emb, labels,
                 word_mask, class_ids):
-        return sharded(img_features, cnn_code, words_emb, sent_emb,
-                       labels, word_mask, class_ids)
+        """Returns (total, {'words_loss', 'sentence_loss'})."""
+        total, wloss, sloss = sharded(img_features, cnn_code, words_emb,
+                                      sent_emb, labels, word_mask, class_ids)
+        return total, {"words_loss": wloss, "sentence_loss": sloss}
 
     return loss_fn

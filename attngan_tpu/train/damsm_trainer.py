@@ -61,10 +61,20 @@ class DamsmTrainer:
     """Owns the models, the optimizer, and the compiled step function."""
 
     def __init__(self, cfg: DamsmConfig, vocab_size: int, seq_len: int,
-                 image_res: int = 256):
+                 image_res: int = 256, mesh=None):
         self.cfg = cfg
         self.seq_len = seq_len
         self.image_res = image_res
+        # Multi-device: use the explicit-collective loss that shards the
+        # O(B^2 L R) pairwise attention by image rows (losses/damsm_sharded);
+        # single device: the plain vmap form.
+        self.sharded_loss = None
+        if mesh is not None and mesh.size > 1:
+            from attngan_tpu.losses.damsm_sharded import make_sharded_damsm_loss
+
+            self.sharded_loss = make_sharded_damsm_loss(
+                mesh, cfg.gamma1, cfg.gamma2, cfg.gamma3, cfg.wlambda,
+                cfg.slambda)
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         self.rnn = BiLSTMEncoder(vocab_size=vocab_size, emb_dim=cfg.text_emb_dim,
                                  hidden_dim=cfg.emb_dim, dropout=cfg.dropout)
@@ -270,9 +280,21 @@ def _damsm_update(trainer: DamsmTrainer, state: DamsmState, key, loss_fn):
     return new_state, metrics
 
 
+def _compute_damsm_loss(trainer, regions, cnn_code, word_embs, sent_embs,
+                        labels, mask, class_ids):
+    cfg = trainer.cfg
+    if trainer.sharded_loss is not None:
+        return trainer.sharded_loss(regions, cnn_code, word_embs, sent_embs,
+                                    labels, mask, class_ids)
+    total, parts, _ = damsm_loss(
+        regions, cnn_code, word_embs, sent_embs, labels, mask, class_ids,
+        cfg.gamma1, cfg.gamma2, cfg.gamma3, cfg.wlambda, cfg.slambda,
+    )
+    return total, parts
+
+
 def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
                 batch: Dict[str, jax.Array]):
-    cfg = trainer.cfg
     key, k_drop = jax.random.split(state.key)
     labels = jnp.arange(batch["tokens"].shape[0])  # match labels (trainer.py:20-25)
     mask = word_mask(batch["lengths"], trainer.seq_len)
@@ -288,19 +310,15 @@ def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
             {"params": cnn_params, "batch_stats": state.cnn_stats},
             batch["img256"], train=False,
         )
-        total, parts, _ = damsm_loss(
-            regions, cnn_code, word_embs, sent_embs, labels, mask,
-            batch["class_ids"], cfg.gamma1, cfg.gamma2, cfg.gamma3,
-            cfg.wlambda, cfg.slambda,
-        )
-        return total, parts
+        return _compute_damsm_loss(trainer, regions, cnn_code, word_embs,
+                                   sent_embs, labels, mask,
+                                   batch["class_ids"])
 
     return _damsm_update(trainer, state, key, loss_fn)
 
 
 def _damsm_step_cached(trainer: DamsmTrainer, state: DamsmState,
                        batch: Dict[str, jax.Array]):
-    cfg = trainer.cfg
     key, k_drop = jax.random.split(state.key)
     labels = jnp.arange(batch["tokens"].shape[0])
     mask = word_mask(batch["lengths"], trainer.seq_len)
@@ -314,11 +332,8 @@ def _damsm_step_cached(trainer: DamsmTrainer, state: DamsmState,
         )
         regions, cnn_code = _apply_heads(trainable["cnn_heads"],
                                          trunk_regions, trunk_pooled)
-        total, parts, _ = damsm_loss(
-            regions, cnn_code, word_embs, sent_embs, labels, mask,
-            batch["class_ids"], cfg.gamma1, cfg.gamma2, cfg.gamma3,
-            cfg.wlambda, cfg.slambda,
-        )
-        return total, parts
+        return _compute_damsm_loss(trainer, regions, cnn_code, word_embs,
+                                   sent_embs, labels, mask,
+                                   batch["class_ids"])
 
     return _damsm_update(trainer, state, key, loss_fn)

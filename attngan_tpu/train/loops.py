@@ -66,9 +66,10 @@ def run_damsm_training(
 ):
     dataset.build_vocab()
     seq_len = max(dataset.max_seqlen, 1)
+    mesh = make_mesh_for_batch(cfg.batch_size)
     if trainer is None:
         trainer = DamsmTrainer(cfg, vocab_size=dataset.vocab.n_words,
-                               seq_len=seq_len)
+                               seq_len=seq_len, mesh=mesh)
     if state is None:
         state = trainer.init_state(run_cfg.seed, pretrained_cnn=pretrained_cnn)
         state = _maybe_resume(
@@ -78,7 +79,6 @@ def run_damsm_training(
         print("precomputing frozen-trunk region features for "
               f"{len(dataset.records)} images ...")
         cache = trainer.precompute_trunk_features(state, dataset)
-    mesh = make_mesh_for_batch(cfg.batch_size)
     state = replicate(state, mesh)
 
     def to_device(host_batch):

@@ -31,7 +31,8 @@ def test_sharded_loss_matches_reference(rng):
     loss_fn = make_sharded_damsm_loss(mesh)
     args = shard_batch((img, code, words, sent, labels, mask, class_ids),
                        mesh)
-    got = jax.jit(loss_fn)(*args)
+    got, parts = jax.jit(loss_fn)(*args)
+    assert set(parts) == {"words_loss", "sentence_loss"}
     np.testing.assert_allclose(float(got), float(expected), rtol=1e-4)
 
 
@@ -47,7 +48,7 @@ def test_sharded_loss_gradients_match(rng):
     loss_fn = make_sharded_damsm_loss(mesh)
 
     def sharded(i, w):
-        return loss_fn(i, code, w, sent, labels, mask, class_ids)
+        return loss_fn(i, code, w, sent, labels, mask, class_ids)[0]
 
     args = shard_batch((img, words), mesh)
     g_shard = jax.jit(jax.grad(sharded, argnums=(0, 1)))(*args)

@@ -54,6 +54,30 @@ def test_damsm_step_sharded_matches_single_device(rng):
     assert int(new_state.step) == 1
 
 
+def test_damsm_trainer_with_explicit_collective_loss(rng):
+    """DamsmTrainer(mesh=...) routes through the shard_map loss and matches
+    the single-device trainer's loss trajectory."""
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=B,
+                      image_encoder="tiny", compute_dtype="")
+    mesh = make_mesh()
+    trainer_ref = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    trainer_sh = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64,
+                              mesh=mesh)
+    assert trainer_sh.sharded_loss is not None
+    state_ref = trainer_ref.init_state(seed=0)
+    state_sh = replicate(trainer_sh.init_state(seed=0), mesh)
+    batch = _batch(rng, ["img256"])
+    sharded_batch = shard_batch(jax.tree_util.tree_map(jnp.copy, batch), mesh)
+
+    losses_ref, losses_sh = [], []
+    for _ in range(3):
+        state_ref, m_ref = trainer_ref.train_step(state_ref, batch)
+        state_sh, m_sh = trainer_sh.train_step(state_sh, sharded_batch)
+        losses_ref.append(float(m_ref["loss"]))
+        losses_sh.append(float(m_sh["loss"]))
+    np.testing.assert_allclose(losses_ref, losses_sh, rtol=1e-4)
+
+
 def test_gan_step_sharded_runs(rng):
     cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
                     seq_len=L, batch_size=B, num_stages=2,
