@@ -55,6 +55,31 @@ def test_resnet18_embedder(rng):
     assert embs.shape == (5, 512)
 
 
+@pytest.mark.slow
+def test_inception_stage_widths_match_torchvision(rng):
+    """Pin the per-stage channel widths via kernel INPUT dims — a port
+    mistake anywhere shifts every downstream in_channels and would break
+    converted-weight loading (reference cnn_encoder.py:76-97 comments)."""
+    from attngan_tpu.models.cnn_encoder import InceptionV3Trunk
+
+    trunk = InceptionV3Trunk()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = trunk.init(jax.random.key(0), x, train=False)["params"]
+
+    def in_ch(module, branch):
+        return params[module][branch]["conv"]["kernel"].shape[2]
+
+    assert in_ch("Mixed_5b", "branch1x1") == 192    # after stem
+    assert in_ch("Mixed_5c", "branch1x1") == 256    # 64+64+96+32
+    assert in_ch("Mixed_5d", "branch1x1") == 288    # 64+64+96+64
+    assert in_ch("Mixed_6a", "branch3x3") == 288
+    assert in_ch("Mixed_6b", "branch1x1") == 768    # 384+96+288
+    assert in_ch("Mixed_6e", "branch1x1") == 768
+    assert in_ch("Mixed_7a", "branch3x3_1") == 768
+    assert in_ch("Mixed_7b", "branch1x1") == 1280   # 320+192+768
+    assert in_ch("Mixed_7c", "branch1x1") == 2048   # 320+768+768+192
+
+
 def test_weight_converter_key_mapping():
     """Synthetic torch-style state_dict -> our param tree paths."""
     import torch
