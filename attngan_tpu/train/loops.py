@@ -192,14 +192,23 @@ def run_gan_training(
 
 
 def _sample_grid(trainer, state, last_embed, fixed_noise, epoch, run_cfg, mesh):
-    """Fixed-noise evaluation grid, like reference train.py:154-158."""
-    tokens, lengths = last_embed
-    from attngan_tpu.data.dataset import word_mask
+    """Fixed-noise evaluation grid + word-attention strips of the first
+    sample, like reference train.py:154-158 + the attention viewers."""
+    import os
 
+    from attngan_tpu.data.dataset import word_mask
+    from attngan_tpu.utils.imaging import save_attention_maps
+
+    tokens, lengths = last_embed
     word_embs, sent_embs = trainer.embed_text(state, tokens, lengths)
     mask = word_mask(lengths, trainer.cfg.seq_len)
-    fakes, _, _, _ = trainer.generate(
+    fakes, attns, _, _ = trainer.generate(
         state, fixed_noise, sent_embs, word_embs, mask,
         jax.random.key(run_cfg.seed))
     fakes = [np.asarray(denormalize(f)) for f in fakes]
     save_image_grids(fakes, epoch, run_cfg.image_dir)
+    for attn in attns:                      # (B, L, h, w) per attention stage
+        res = attn.shape[-1]
+        save_attention_maps(
+            np.asarray(attn[0]),
+            os.path.join(run_cfg.image_dir, f"epoch_{epoch}-attn{res}.png"))
