@@ -197,9 +197,11 @@ def upsample_conv3x3_fused(x: jax.Array, kernel: jax.Array,
     dn = ("NHWC", "HWIO", "NHWC")
 
     def conv(xs, k):
+        # no preferred_element_type: a fp32 accumulator output makes the
+        # conv VJP mix fp32 cotangents with bf16 operands (TypeError); the
+        # MXU accumulates in fp32 internally regardless.
         return jax.lax.conv_general_dilated(
-            xs, k, (1, 1), "VALID", dimension_numbers=dn,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            xs, k, (1, 1), "VALID", dimension_numbers=dn)
 
     y00 = conv(xp[:, : h + 1, : w_dim + 1], k00)   # rows (i-1,i), cols (j-1,j)
     y01 = conv(xp[:, : h + 1, 1:], k01)            # rows (i-1,i), cols (j,j+1)
@@ -241,8 +243,7 @@ class UpBlock(nn.Module):
                 kernel = kernel.astype(self.dtype)
             x = jax.lax.conv_general_dilated(
                 x, kernel, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = batch_norm(train, dtype=self.dtype)(x)
         return glu(x)
 

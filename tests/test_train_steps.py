@@ -114,6 +114,30 @@ def test_gan_step_full_3stage_with_damsm(rng):
         assert np.isfinite(float(val)), f"{key} not finite"
 
 
+def test_gan_step_bf16_compute(rng):
+    """bf16 compute dtype end to end (the TPU default) — catches dtype
+    promotion bugs that fp32-only tests miss (e.g. fp32 accumulator outputs
+    breaking conv VJPs)."""
+    cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                    seq_len=L, batch_size=B, num_stages=3,
+                    image_encoder="tiny", compute_dtype="bfloat16")
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    batch = _gan_batch(rng, cfg.resolutions)
+    state, metrics = trainer.train_step(state, batch)
+    for key, val in metrics.items():
+        assert np.isfinite(float(val)), f"{key} not finite"
+
+
+def test_damsm_step_bf16_compute(rng):
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=B,
+                      image_encoder="tiny", compute_dtype="bfloat16")
+    trainer = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    state = trainer.init_state(seed=0)
+    _, metrics = trainer.train_step(state, _damsm_batch(rng))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_gan_sampler(rng):
     from attngan_tpu.infer.sampler import Sampler
 
