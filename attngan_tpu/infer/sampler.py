@@ -54,6 +54,29 @@ class Sampler:
     def generate_from_tokens(self, tokens, lengths, key) -> jax.Array:
         return self._sample_fn(self.state, tokens, lengths, key)
 
+    def generate_stages(self, tokens, lengths, key):
+        """All cascade stages + attention maps (reference test.py exposes the
+        full (fake_imgs, attn_maps) tuple). Returns ([per-stage (B,R,R,3) in
+        [0,1]], [per-attn-stage (B, L, h, w)])."""
+        if not hasattr(self, "_stages_fn"):
+            trainer = self.trainer
+
+            def _stages(state, tokens, lengths, key):
+                cfg = trainer.cfg
+                k_noise, k_reparam = jax.random.split(key)
+                word_embs, sent_embs = trainer.rnn.apply(
+                    {"params": state.rnn_params}, tokens, lengths, train=False)
+                mask = word_mask(lengths, cfg.seq_len)
+                noise = jax.random.normal(k_noise, (tokens.shape[0], cfg.z_dim))
+                fakes, attns, _, _ = trainer.generator.apply(
+                    {"params": state.gen_params,
+                     "batch_stats": state.gen_stats},
+                    noise, sent_embs, word_embs, mask, k_reparam, train=False)
+                return [denormalize(f) for f in fakes], attns
+
+            self._stages_fn = jax.jit(_stages)
+        return self._stages_fn(self.state, tokens, lengths, key)
+
 
 def _sample(trainer: GanTrainer, state: GanState, tokens, lengths, key,
             return_all_stages: bool = False):

@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--swap", type=int, default=0,
                    help="swap N cluster tokens between the first two captions")
     p.add_argument("--swap-reverse", action="store_true")
+    p.add_argument("--all-stages", action="store_true",
+                   help="also save the 64/128px intermediate stages")
+    p.add_argument("--save-attention", action="store_true",
+                   help="save per-word attention strips next to each image")
     p.add_argument("--out", default="generated_images")
     p.add_argument("--num-stages", type=int, default=3, choices=[1, 2, 3])
     p.add_argument("--gf-dim", type=int, default=32)
@@ -116,8 +120,30 @@ def main():
     if args.swap and len(captions) >= 2:
         captions[:2] = handler.swap_captions(captions[:2], num=args.swap,
                                              reverse=args.swap_reverse)
-    images = sampler.generate_from_captions(captions, seed=args.seed)
     os.makedirs(args.out, exist_ok=True)
+    if args.all_stages or args.save_attention:
+        from attngan_tpu.utils.imaging import save_attention_maps
+
+        tokens, lengths = handler.preprocess(captions,
+                                             max_seqlen=cfg.seq_len)
+        stages, attns = sampler.generate_stages(
+            jnp.asarray(tokens), jnp.asarray(lengths),
+            jax.random.key(args.seed))
+        for name_idx, name in enumerate(args.image_names):
+            base = os.path.basename(name)
+            for imgs in (stages if args.all_stages else stages[-1:]):
+                res = imgs.shape[1]
+                path = os.path.join(args.out, f"{base}_{res}px.png")
+                save_image(np.asarray(imgs[name_idx]), path)
+                print(f"wrote {path}")
+            if args.save_attention:
+                for attn in attns:
+                    res = attn.shape[-1]
+                    path = os.path.join(args.out, f"{base}_attn{res}.png")
+                    save_attention_maps(np.asarray(attn[name_idx]), path)
+                    print(f"wrote {path}")
+        return
+    images = sampler.generate_from_captions(captions, seed=args.seed)
     for name, img in zip(args.image_names, images):
         path = os.path.join(args.out, f"{os.path.basename(name)}.png")
         save_image(img, path)
