@@ -8,17 +8,21 @@ materializes O(B^2 * R * L) intermediates in HBM; this kernel computes each
 pair's whole chain (two matmuls, two softmaxes, cosine, logsumexp) in VMEM
 and writes ONE scalar per pair.
 
-Grid layout: (image j OUTER, text i INNER) so the (R, D) region block of
-image j stays resident in VMEM across all B texts — region features are
+Grid layout: one cell per image j; an in-kernel fori_loop walks all B texts
+while the (R, D) region block stays resident in VMEM — region features are
 loaded from HBM exactly once per image, the dominant traffic term.
 
 Backward: custom_vjp recomputing through the jnp path (rematerialization).
+
+Status (BENCH.md): at reference sizes XLA's vmap form is FASTER (the
+per-text loop serializes small matmuls), so losses/damsm.py defaults to
+vmap; this kernel stays available via fused=True and is the per-shard
+compute shape for losses/damsm_sharded.py's row-sharded multi-chip design.
 """
 
 from __future__ import annotations
 
 import functools
-
 
 import jax
 import jax.numpy as jnp
