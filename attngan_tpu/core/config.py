@@ -97,10 +97,13 @@ class RunConfig:
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     image_dir: str = "generated_images"
-    mesh_shape: Tuple[int, ...] = ()  # () => all visible devices on one 'data' axis
+    # () => 1-D 'data' mesh over the devices that divide the batch;
+    # (n,) => 1-D over first n devices; (s, d) => 2-D ('slice', 'data')
+    # multi-slice mesh (parallel/mesh.py::make_mesh)
+    mesh_shape: Tuple[int, ...] = ()
     log_every: int = 50
     checkpoint_every_epochs: int = 1
-    profile: bool = False
+    profile: bool = False  # trace steps 2-7 with jax.profiler (StepWindowProfiler)
 
 
 def replace(cfg, **kw):

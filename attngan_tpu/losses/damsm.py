@@ -65,7 +65,7 @@ def words_loss(
     gamma2: float = 5.0,
     gamma3: float = 10.0,
     wlambda: float = 5.0,
-    fused: Optional[bool] = None,     # None = Pallas kernel on TPU
+    fused: Optional[bool] = None,     # None = XLA vmap form (measured default)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scalar loss, diagonal attention maps (B, L, R))."""
     if fused is None:

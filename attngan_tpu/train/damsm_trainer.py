@@ -75,6 +75,11 @@ class DamsmTrainer:
             self.sharded_loss = make_sharded_damsm_loss(
                 mesh, cfg.gamma1, cfg.gamma2, cfg.gamma3, cfg.wlambda,
                 cfg.slambda)
+        if cfg.cache_region_features and cfg.trunk_train_mode_bn:
+            raise ValueError(
+                "cache_region_features assumes a step-invariant trunk forward;"
+                " trunk_train_mode_bn makes features depend on batch "
+                "composition — pick one")
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         self.rnn = BiLSTMEncoder(vocab_size=vocab_size, emb_dim=cfg.text_emb_dim,
                                  hidden_dim=cfg.emb_dim, dropout=cfg.dropout)
@@ -254,10 +259,13 @@ def _apply_heads(head_params, trunk_regions, trunk_pooled):
 
 
 def _damsm_update(trainer: DamsmTrainer, state: DamsmState, key, loss_fn):
-    """Shared grad/clip/Adam tail of both step variants."""
+    """Shared grad/clip/Adam tail of both step variants. ``loss_fn`` returns
+    (loss, (parts, new_cnn_stats_or_None)) — train-mode trunk BN threads its
+    updated running stats back into the state."""
     cfg = trainer.cfg
     trainable = {"rnn": state.rnn_params, "cnn_heads": state.cnn_head_params}
-    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+    (loss, (parts, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(trainable)
 
     # clip_grad_norm_(RNN.parameters(), 0.25) — RNN subtree only
     # (pretrain_damsm.py:132)
@@ -272,6 +280,8 @@ def _damsm_update(trainer: DamsmTrainer, state: DamsmState, key, loss_fn):
     new_state = state.replace(
         rnn_params=trainable["rnn"],
         cnn_head_params=trainable["cnn_heads"],
+        cnn_stats=(state.cnn_stats if new_stats is None
+                   else jax.lax.stop_gradient(new_stats)),
         opt_state=opt_state,
         step=state.step + 1,
         key=key,
@@ -306,13 +316,26 @@ def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
         )
         cnn_params = _merge_cnn_params(trainable["cnn_heads"],
                                        state.cnn_trunk_params)
-        regions, cnn_code = trainer.cnn.apply(
-            {"params": cnn_params, "batch_stats": state.cnn_stats},
-            batch["img256"], train=False,
-        )
-        return _compute_damsm_loss(trainer, regions, cnn_code, word_embs,
-                                   sent_embs, labels, mask,
-                                   batch["class_ids"])
+        cnn_vars = {"params": cnn_params, "batch_stats": state.cnn_stats}
+        if trainer.cfg.trunk_train_mode_bn:
+            # Reproduce the reference's accidental quirk: the frozen trunk is
+            # never put in eval() (no eval call anywhere in reference
+            # pretrain_damsm.py:59-73), so its BN normalizes with BATCH stats
+            # and keeps updating the running averages.
+            (regions, cnn_code), mutated = trainer.cnn.apply(
+                cnn_vars, batch["img256"], train=True,
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            regions, cnn_code = trainer.cnn.apply(
+                cnn_vars, batch["img256"], train=False,
+            )
+            new_stats = None
+        total, parts = _compute_damsm_loss(trainer, regions, cnn_code,
+                                           word_embs, sent_embs, labels, mask,
+                                           batch["class_ids"])
+        return total, (parts, new_stats)
 
     return _damsm_update(trainer, state, key, loss_fn)
 
@@ -332,8 +355,9 @@ def _damsm_step_cached(trainer: DamsmTrainer, state: DamsmState,
         )
         regions, cnn_code = _apply_heads(trainable["cnn_heads"],
                                          trunk_regions, trunk_pooled)
-        return _compute_damsm_loss(trainer, regions, cnn_code, word_embs,
-                                   sent_embs, labels, mask,
-                                   batch["class_ids"])
+        total, parts = _compute_damsm_loss(trainer, regions, cnn_code,
+                                           word_embs, sent_embs, labels, mask,
+                                           batch["class_ids"])
+        return total, (parts, None)
 
     return _damsm_update(trainer, state, key, loss_fn)

@@ -32,7 +32,7 @@ from attngan_tpu.train.checkpoint import (
 from attngan_tpu.train.damsm_trainer import DamsmState, DamsmTrainer
 from attngan_tpu.train.gan_trainer import GanState, GanTrainer
 from attngan_tpu.utils.imaging import plot_history, save_image_grids
-from attngan_tpu.utils.timing import StepTimer
+from attngan_tpu.utils.timing import StepTimer, StepWindowProfiler
 
 
 def _maybe_resume(state, directory: str, resume: bool):
@@ -66,7 +66,7 @@ def run_damsm_training(
 ):
     dataset.build_vocab()
     seq_len = max(dataset.max_seqlen, 1)
-    mesh = make_mesh_for_batch(cfg.batch_size)
+    mesh = make_mesh_for_batch(cfg.batch_size, shape=run_cfg.mesh_shape)
     if trainer is None:
         trainer = DamsmTrainer(cfg, vocab_size=dataset.vocab.n_words,
                                seq_len=seq_len, mesh=mesh)
@@ -98,6 +98,9 @@ def run_damsm_training(
 
     history = []
     timer = StepTimer()
+    profiler = StepWindowProfiler(
+        os.path.join(run_cfg.checkpoint_dir, "profile_damsm"),
+        enabled=run_cfg.profile)
     for epoch in range(1, cfg.epochs + 1):
         batches = (b for b in dataset.iter_batches(cfg.batch_size, seq_len,
                                                    seed=run_cfg.seed + epoch)
@@ -108,6 +111,7 @@ def run_damsm_training(
             else:
                 state, metrics = trainer.train_step(state, batch)
             timer.tick()
+            profiler.tick()
             history.append(float(metrics["loss"]))
             if len(history) % run_cfg.log_every == 0:
                 print(f"epoch {epoch} step {len(history)} "
@@ -122,6 +126,7 @@ def run_damsm_training(
                                           f"epoch_{epoch}-damsm_loss.png"))
         print(f"===== epoch {epoch} done; mean loss "
               f"{np.mean(history[-100:]) if history else float('nan'):.3f} =====")
+    profiler.close()
     return trainer, state, history
 
 
@@ -143,7 +148,7 @@ def run_gan_training(
                                    cnn_variables=cnn_variables)
         state = _maybe_resume(
             state, os.path.join(run_cfg.checkpoint_dir, "gan"), resume)
-    mesh = make_mesh_for_batch(cfg.batch_size)
+    mesh = make_mesh_for_batch(cfg.batch_size, shape=run_cfg.mesh_shape)
     state = replicate(state, mesh)
 
     losses: Dict[str, list] = defaultdict(list)
@@ -151,6 +156,9 @@ def run_gan_training(
                                     (cfg.batch_size, cfg.z_dim))
     last_embed = None
     timer = StepTimer()
+    profiler = StepWindowProfiler(
+        os.path.join(run_cfg.checkpoint_dir, "profile_gan"),
+        enabled=run_cfg.profile)
     step_count = 0
     image_keys = [f"img{res}" for res in cfg.resolutions]
 
@@ -168,6 +176,7 @@ def run_gan_training(
             last_embed = (batch["tokens"], batch["lengths"])
             state, metrics = trainer.train_step(state, batch)
             timer.tick()
+            profiler.tick()
             step_count += 1
             for key, val in metrics.items():
                 losses[key].append(float(val))
@@ -188,6 +197,7 @@ def run_gan_training(
                                  os.path.join(run_cfg.image_dir,
                                               f"epoch_{epoch}-{name}.png"))
         print(f"===== epoch {epoch} done =====")
+    profiler.close()
     return trainer, state, dict(losses)
 
 

@@ -49,6 +49,40 @@ def profile_trace(logdir: str, enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+class StepWindowProfiler:
+    """Capture a jax.profiler trace of steps [start, stop) of a train loop
+    (RunConfig.profile wiring; view with tensorboard/xprof). Skips the first
+    steps so compilation isn't in the trace. Call ``tick()`` once per step
+    and ``close()`` when the loop ends early."""
+
+    def __init__(self, logdir: str, enabled: bool = True, start: int = 2,
+                 stop: int = 8):
+        self.logdir = logdir
+        self.enabled = enabled
+        self.start = start
+        self.stop = stop
+        self._step = 0
+        self._active = False
+
+    def tick(self) -> None:
+        if not self.enabled:
+            return
+        self._step += 1
+        if self._step == self.start:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        elif self._step == self.stop and self._active:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"[profile] wrote trace for steps "
+                  f"[{self.start}, {min(self._step, self.stop)}) "
+                  f"to {self.logdir}")
+
+
 def count_parameters(params, name: str = "model", verbose: bool = True) -> int:
     """Total parameter count of a pytree (reference trainer.py:27-31)."""
     total = sum(int(np.prod(p.shape))

@@ -56,6 +56,15 @@ def parse_args():
                    help="continue from the newest checkpoint (exact resume: "
                         "params + optimizer states + step + PRNG key)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trunk-train-mode-bn", action="store_true",
+                   help="reproduce the reference quirk: frozen Inception "
+                        "trunk runs with train-mode BatchNorm (the reference "
+                        "never calls eval() on it, pretrain_damsm.py:59-73)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 2-7")
+    p.add_argument("--mesh-shape", type=int, nargs="*", default=[],
+                   help="device mesh shape: empty=auto 1-D; one int=1-D over "
+                        "n devices; two ints=2-D (slices, chips) multi-slice")
     return p.parse_args()
 
 
@@ -95,9 +104,11 @@ def main():
                       lr=args.lr, epochs=args.epochs,
                       image_encoder=args.image_encoder,
                       compute_dtype=args.compute_dtype,
-                      cache_region_features=args.cache_features)
+                      cache_region_features=args.cache_features,
+                      trunk_train_mode_bn=args.trunk_train_mode_bn)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
-                        image_dir=args.image_dir)
+                        image_dir=args.image_dir, profile=args.profile,
+                        mesh_shape=tuple(args.mesh_shape))
     pretrained = None
     if args.pretrained_cnn:
         from attngan_tpu.train.checkpoint import load_converted

@@ -153,3 +153,96 @@ def test_gan_sampler(rng):
     assert imgs.shape == (B, 128, 128, 3)
     arr = np.asarray(imgs)
     assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def _make_bn_encoder():
+    """A minimal encoder with the CNNEncoder param contract (trunk /
+    emb_features / emb_cnn_code) whose trunk HAS a BatchNorm — TinyTrunk has
+    none, so this is the cheap vehicle for the train-mode-BN quirk test."""
+    import flax.linen as nn
+
+    from attngan_tpu.ops.layers import TorchBatchNorm
+
+    class BNTrunk(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Conv(8, (3, 3), strides=4, padding=1)(x)
+            x = TorchBatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            return x, jnp.mean(x, axis=(1, 2))
+
+    class BNEncoder(nn.Module):
+        out_dim: int = 8
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            regions, pooled = BNTrunk(name="trunk")(x, train)
+            regions = nn.Conv(self.out_dim, (1, 1), use_bias=False,
+                              name="emb_features")(regions)
+            code = nn.Dense(self.out_dim, name="emb_cnn_code")(pooled)
+            b = regions.shape[0]
+            return regions.reshape(b, -1, self.out_dim), code
+
+    return BNEncoder()
+
+
+def test_trunk_train_mode_bn_quirk(rng):
+    """DamsmConfig.trunk_train_mode_bn reproduces the reference quirk: the
+    frozen image trunk is never put in eval() (no eval call anywhere in
+    reference pretrain_damsm.py:59-73), so its BN normalizes with BATCH
+    statistics and keeps updating the running averages. Asserts (a) the flag
+    changes the loss, (b) running stats update exactly as a manual
+    train-mode apply does, (c) the default leaves stats untouched."""
+    import dataclasses
+
+    base = DamsmConfig(emb_dim=8, text_emb_dim=8, batch_size=B,
+                       image_encoder="tiny", compute_dtype="")
+    batch = _damsm_batch(rng, res=32)
+
+    def build(flag):
+        cfg = dataclasses.replace(base, trunk_train_mode_bn=flag)
+        trainer = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=32)
+        trainer.cnn = _make_bn_encoder()
+        state = trainer.init_state(seed=0)
+        return trainer, state
+
+    t_eval, s_eval = build(False)
+    t_quirk, s_quirk = build(True)
+    stats_before = jax.device_get(s_quirk.cnn_stats)
+    params_merged = {**s_quirk.cnn_trunk_params, **s_quirk.cnn_head_params}
+    _, expected_mut = t_quirk.cnn.apply(
+        {"params": params_merged, "batch_stats": stats_before},
+        batch["img256"], train=True, mutable=["batch_stats"])
+
+    s_eval2, m_eval = t_eval.train_step(s_eval, batch)
+    s_quirk2, m_quirk = t_quirk.train_step(s_quirk, batch)
+
+    # (a) quirk changes the forward numerics (batch stats vs fresh running stats)
+    assert abs(float(m_eval["loss"]) - float(m_quirk["loss"])) > 1e-6
+    # (b) quirk updates running stats exactly like a train-mode apply
+    for got, want in zip(
+            jax.tree_util.tree_leaves(s_quirk2.cnn_stats),
+            jax.tree_util.tree_leaves(expected_mut["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+    # stats actually moved
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree_util.tree_leaves(stats_before),
+                               jax.tree_util.tree_leaves(s_quirk2.cnn_stats)))
+    # (c) default (eval-mode trunk) leaves stats untouched
+    for a, b in zip(jax.tree_util.tree_leaves(stats_before),
+                    jax.tree_util.tree_leaves(s_eval2.cnn_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cache_features_rejects_train_mode_bn():
+    import dataclasses
+
+    import pytest
+
+    cfg = dataclasses.replace(
+        DamsmConfig(emb_dim=8, text_emb_dim=8, batch_size=B,
+                    image_encoder="tiny", compute_dtype=""),
+        cache_region_features=True, trunk_train_mode_bn=True)
+    with pytest.raises(ValueError, match="step-invariant"):
+        DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=32)

@@ -48,6 +48,11 @@ def parse_args():
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest GAN checkpoint")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of steps 2-7")
+    p.add_argument("--mesh-shape", type=int, nargs="*", default=[],
+                   help="device mesh shape: empty=auto 1-D; one int=1-D over "
+                        "n devices; two ints=2-D (slices, chips) multi-slice")
     return p.parse_args()
 
 
@@ -90,7 +95,8 @@ def main():
                     image_encoder=args.image_encoder,
                     compute_dtype=args.compute_dtype)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
-                        image_dir=args.image_dir)
+                        image_dir=args.image_dir, profile=args.profile,
+                        mesh_shape=tuple(args.mesh_shape))
 
     rnn_params = cnn_vars = None
     if args.damsm_checkpoint:
