@@ -28,14 +28,23 @@ def denormalize(images: jax.Array) -> jax.Array:
 
 class Sampler:
     def __init__(self, trainer: GanTrainer, state: GanState,
-                 caption_handler: Optional[CaptionHandler] = None):
+                 caption_handler: Optional[CaptionHandler] = None,
+                 mesh=None):
         self.trainer = trainer
         self.state = state
         self.caption_handler = caption_handler
+        self.mesh = mesh  # data-parallel inference mesh (or None)
         self._sample_fn = jax.jit(
             functools.partial(_sample, trainer),
             static_argnames=("return_all_stages",),
         )
+
+    def _shard(self, tokens, lengths):
+        if self.mesh is not None and tokens.shape[0] % self.mesh.size == 0:
+            from attngan_tpu.parallel import shard_batch
+
+            return shard_batch((tokens, lengths), self.mesh)
+        return tokens, lengths
 
     def generate_from_captions(
         self, captions: List[List[str]], seed: int = 0
@@ -45,9 +54,9 @@ class Sampler:
         tokens, lengths = self.caption_handler.preprocess(
             captions, max_seqlen=self.trainer.cfg.seq_len
         )
+        tokens, lengths = self._shard(jnp.asarray(tokens), jnp.asarray(lengths))
         imgs = self._sample_fn(
-            self.state, jnp.asarray(tokens), jnp.asarray(lengths),
-            jax.random.key(seed),
+            self.state, tokens, lengths, jax.random.key(seed),
         )
         return np.asarray(imgs)
 

@@ -39,7 +39,7 @@ from attngan_tpu.losses.damsm import (
     sentence_loss as _sentence_loss_math,
 )
 from attngan_tpu.ops.attention import NEG_INF, damsm_attention
-from attngan_tpu.parallel.mesh import DATA_AXIS
+from attngan_tpu.parallel.mesh import batch_axes
 
 
 def _local_similarity_rows(local_regions, all_words, all_word_mask, gamma1,
@@ -65,37 +65,38 @@ def _local_similarity_rows(local_regions, all_words, all_word_mask, gamma1,
 def make_sharded_damsm_loss(mesh: Mesh, gamma1=4.0, gamma2=5.0, gamma3=10.0,
                             wlambda=5.0, slambda=5.0):
     """Returns loss_fn(img_features, cnn_code, words_emb, sent_emb, labels,
-    word_mask, class_ids) with every batch arg sharded over 'data'; the
-    returned scalar is replicated. Differentiable (shard_map supports AD)."""
+    word_mask, class_ids) with every batch arg sharded over the mesh's batch
+    axes (1-D 'data' or 2-D ('slice', 'data')); the returned scalar is
+    replicated. Differentiable (shard_map supports AD)."""
+    axes = batch_axes(mesh)
 
     def local_fn(img_features, cnn_code, words_emb, sent_emb, labels,
                  word_mask, class_ids):
         # Gather the small text-side tensors over ICI.
-        all_words = jax.lax.all_gather(words_emb, DATA_AXIS, tiled=True)
-        all_mask = jax.lax.all_gather(word_mask, DATA_AXIS, tiled=True)
-        all_sent = jax.lax.all_gather(sent_emb, DATA_AXIS, tiled=True)
-        all_labels = jax.lax.all_gather(labels, DATA_AXIS, tiled=True)
-        all_class = (jax.lax.all_gather(class_ids, DATA_AXIS, tiled=True)
+        all_words = jax.lax.all_gather(words_emb, axes, tiled=True)
+        all_mask = jax.lax.all_gather(word_mask, axes, tiled=True)
+        all_sent = jax.lax.all_gather(sent_emb, axes, tiled=True)
+        all_labels = jax.lax.all_gather(labels, axes, tiled=True)
+        all_class = (jax.lax.all_gather(class_ids, axes, tiled=True)
                      if class_ids is not None else None)
 
         # Sharded heavy compute: this device's image rows vs all texts.
         rows = _local_similarity_rows(img_features, all_words, all_mask,
                                       gamma1, gamma2)
         # Tiny gather: full (B, B) similarity, replicated CE both ways.
-        sims = jax.lax.all_gather(rows, DATA_AXIS, tiled=True) * gamma3
+        sims = jax.lax.all_gather(rows, axes, tiled=True) * gamma3
         if all_class is not None:
             sims = jnp.where(_class_mask(all_class), NEG_INF, sims)
         wloss = _symmetric_ce(sims, all_labels) * wlambda
 
-        all_code = jax.lax.all_gather(cnn_code, DATA_AXIS, tiled=True)
+        all_code = jax.lax.all_gather(cnn_code, axes, tiled=True)
         sloss = _sentence_loss_math(all_code, all_sent, all_labels, all_class,
                                     gamma3, slambda)
         return wloss + sloss, wloss, sloss
 
     sharded = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=tuple(P(axes) for _ in range(7)),
         out_specs=(P(), P(), P()),
         check_rep=False,
     )

@@ -1,5 +1,7 @@
 from attngan_tpu.parallel.mesh import (
     DATA_AXIS,
+    SLICE_AXIS,
+    batch_axes,
     batch_sharding,
     make_mesh,
     make_mesh_for_batch,
@@ -10,6 +12,8 @@ from attngan_tpu.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "SLICE_AXIS",
+    "batch_axes",
     "batch_sharding",
     "make_mesh",
     "make_mesh_for_batch",

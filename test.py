@@ -48,6 +48,9 @@ def parse_args():
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh-shape", type=int, nargs="*", default=[],
+                   help="device mesh shape: empty=auto 1-D; one int=1-D over "
+                        "n devices; two ints=2-D (slices, chips) multi-slice")
     return p.parse_args()
 
 
@@ -93,7 +96,19 @@ def main():
         print(f"restored {ckpt}")
     else:
         print("WARNING: no checkpoint found; using random weights")
-    sampler = Sampler(trainer, state, caption_handler=handler)
+
+    # Data-parallel inference over the device mesh (the BASELINE north-star
+    # "batched text->image inference ... data-parallel over v5e-8" config):
+    # state replicated, batch sharded, XLA runs the cascade SPMD.
+    from attngan_tpu.parallel import make_mesh_for_batch, replicate, shard_batch
+
+    n_items = args.batch_size if args.benchmark else max(len(args.image_names), 1)
+    mesh = make_mesh_for_batch(n_items, shape=tuple(args.mesh_shape))
+    if mesh.size > 1:
+        print(f"data-parallel inference over {mesh.size} devices "
+              f"(mesh axes {mesh.axis_names})")
+    state = replicate(state, mesh)
+    sampler = Sampler(trainer, state, caption_handler=handler, mesh=mesh)
 
     if args.benchmark:
         rng = np.random.default_rng(args.seed)
@@ -101,6 +116,7 @@ def main():
             rng.integers(0, handler.vocab_size, (args.batch_size, cfg.seq_len)),
             jnp.int32)
         lengths = jnp.full((args.batch_size,), cfg.seq_len, jnp.int32)
+        tokens, lengths = shard_batch((tokens, lengths), mesh)
         imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(0))
         jax.block_until_ready(imgs)  # compile + warmup
         iters = 10
@@ -113,7 +129,10 @@ def main():
         rate = args.batch_size * iters / dt
         print(json.dumps({"metric": "gen_images_per_sec",
                           "value": round(rate, 2), "unit": "img/s",
-                          "batch_size": args.batch_size}))
+                          "batch_size": args.batch_size,
+                          "devices": mesh.size,
+                          "output_sharded_over":
+                              len(imgs.sharding.device_set)}))
         return
 
     captions = handler.get_captions(args.image_names)

@@ -9,9 +9,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(*argv):
+def _run(*argv, timeout=120):
     return subprocess.run([sys.executable, *argv], cwd=REPO,
-                          capture_output=True, text=True, timeout=120)
+                          capture_output=True, text=True, timeout=timeout)
 
 
 def test_help_screens():
@@ -31,6 +31,30 @@ def test_test_py_requires_action():
     proc = _run("test.py", "--captions-path", "/nonexistent.json")
     assert proc.returncode != 0
     assert "image-names" in (proc.stderr + proc.stdout)
+
+
+def test_test_py_benchmark_shards_over_mesh(tmp_path):
+    """North-star config 5: `test.py --benchmark` must run the sampler
+    data-parallel over the device mesh — asserted via the actual output
+    array's sharding, reported in the benchmark JSON."""
+    import json
+
+    caps = {f"img_{i}.jpg": [[f"k2c{i % 2}", f"k4c{i % 4}"], i % 4]
+            for i in range(4)}
+    caps_path = tmp_path / "caps.json"
+    caps_path.write_text(json.dumps(caps))
+
+    proc = _run("test.py", "--captions-path", str(caps_path),
+                "--checkpoint", str(tmp_path / "nonexistent"),
+                "--benchmark", "--batch-size", "16", "--num-stages", "1",
+                "--gf-dim", "4", "--df-dim", "4", "--emb-dim", "16",
+                "--image-encoder", "tiny", "--compute-dtype", "",
+                timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["devices"] == 8, proc.stdout
+    assert result["output_sharded_over"] == 8, proc.stdout
+    assert "data-parallel inference over 8 devices" in proc.stdout
 
 
 def test_config_module_exposes_dataclasses():

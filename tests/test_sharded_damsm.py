@@ -36,6 +36,21 @@ def test_sharded_loss_matches_reference(rng):
     np.testing.assert_allclose(float(got), float(expected), rtol=1e-4)
 
 
+def test_sharded_loss_matches_reference_2d_mesh(rng):
+    """The explicit-collective loss on a 2-D ('slice', 'data') mesh: gathers
+    run over BOTH batch axes (parallel/mesh.py::batch_axes)."""
+    img, code, words, sent, labels, mask, class_ids = _inputs(rng)
+    expected, _, _ = damsm_loss(img, code, words, sent, labels, mask,
+                                class_ids)
+
+    mesh = make_mesh(shape=(2, 4))
+    loss_fn = make_sharded_damsm_loss(mesh)
+    args = shard_batch((img, code, words, sent, labels, mask, class_ids),
+                       mesh)
+    got, _ = jax.jit(loss_fn)(*args)
+    np.testing.assert_allclose(float(got), float(expected), rtol=1e-4)
+
+
 def test_sharded_loss_gradients_match(rng):
     img, code, words, sent, labels, mask, class_ids = _inputs(rng)
 

@@ -78,6 +78,81 @@ def test_damsm_trainer_with_explicit_collective_loss(rng):
     np.testing.assert_allclose(losses_ref, losses_sh, rtol=1e-4)
 
 
+def _gan_cfg():
+    return GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                     seq_len=L, batch_size=B, num_stages=2,
+                     image_encoder="tiny", compute_dtype="")
+
+
+def test_gan_step_sharded_matches_single_device(rng):
+    """8-device GAN step == single-device step at the same global batch.
+    BN policy: under jit-SPMD the batch-axis mean/var reduce over the GLOBAL
+    batch (sync-BN, gan_trainer.py module docstring), so the sharded math is
+    IDENTICAL to single-device up to reduction order — asserted here for
+    every loss term, not just finiteness."""
+    cfg = _gan_cfg()
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    batch = _batch(rng, ["img64", "img128"])
+
+    _, m_single = trainer.train_step(
+        jax.tree_util.tree_map(jnp.copy, state),
+        jax.tree_util.tree_map(jnp.copy, batch))
+
+    mesh = make_mesh()
+    sh_state = replicate(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    sh_batch = shard_batch(jax.tree_util.tree_map(jnp.copy, batch), mesh)
+    _, m_sharded = trainer.train_step(sh_state, sh_batch)
+
+    assert set(m_single) == set(m_sharded)
+    for key in m_single:
+        np.testing.assert_allclose(float(m_single[key]),
+                                   float(m_sharded[key]),
+                                   rtol=2e-4, atol=1e-5, err_msg=key)
+
+
+def test_gan_step_2d_mesh_matches_single_device(rng):
+    """Multi-slice story: a 2-D ('slice', 'data') mesh — batch sharded over
+    both axes, hierarchical gradient reduction — gives the same step as one
+    device."""
+    cfg = _gan_cfg()
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    batch = _batch(rng, ["img64", "img128"])
+
+    _, m_single = trainer.train_step(
+        jax.tree_util.tree_map(jnp.copy, state),
+        jax.tree_util.tree_map(jnp.copy, batch))
+
+    mesh = make_mesh(shape=(2, 4))
+    assert mesh.axis_names == ("slice", "data") and mesh.size == 8
+    sh_state = replicate(jax.tree_util.tree_map(jnp.copy, state), mesh)
+    sh_batch = shard_batch(jax.tree_util.tree_map(jnp.copy, batch), mesh)
+    new_state, m_sharded = trainer.train_step(sh_state, sh_batch)
+
+    for key in m_single:
+        np.testing.assert_allclose(float(m_single[key]),
+                                   float(m_sharded[key]),
+                                   rtol=2e-4, atol=1e-5, err_msg=key)
+    assert int(new_state.step) == 1
+
+
+def test_mesh_shape_wiring():
+    """RunConfig.mesh_shape semantics (parallel/mesh.py::make_mesh)."""
+    import pytest
+
+    from attngan_tpu.parallel import make_mesh_for_batch
+
+    m1 = make_mesh_for_batch(16, shape=(4,))
+    assert m1.axis_names == ("data",) and m1.size == 4
+    m2 = make_mesh_for_batch(16, shape=(2, 4))
+    assert m2.axis_names == ("slice", "data") and m2.size == 8
+    with pytest.raises(ValueError):
+        make_mesh_for_batch(6, shape=(2, 4))   # 6 % 8 != 0
+    with pytest.raises(ValueError):
+        make_mesh_for_batch(16, shape=(4, 4))  # needs 16 devices, have 8
+
+
 def test_gan_step_sharded_runs(rng):
     cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
                     seq_len=L, batch_size=B, num_stages=2,
