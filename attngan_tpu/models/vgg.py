@@ -43,16 +43,29 @@ def _torch_module_index_plan() -> List[Tuple[int, str, int]]:
 
 class VGG19BNFeatures(nn.Module):
     """Runs the features trunk, returning the outputs at ``taps`` indices
-    (torchvision module indices). Frozen usage: train=False always."""
+    (torchvision module indices). Frozen usage: train=False always.
+
+    Inplace-ReLU quirk, reproduced deliberately: the reference appends the
+    raw tensor after module ``idx`` (VAE.py:157-160), but torchvision's
+    ``ReLU(inplace=True)`` then MUTATES any tap taken at a BatchNorm index
+    before the loss reads it — so the reference's EFFECTIVE features at BN
+    taps (24, 34 of the default [14, 24, 34, 43]) are post-ReLU, while conv
+    taps (14, 43) stay pre-BN. Verified against a torch oracle with
+    torchvision's exact Sequential in tests/test_torch_oracle_trunks.py.
+    """
 
     taps: Sequence[int] = DEFAULT_FEATURE_LAYERS
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
-        outputs = []
-        taps = set(self.taps)
-        for idx, kind, width in _torch_module_index_plan():
+        plan = _torch_module_index_plan()
+        kind_at = {idx: kind for idx, kind, _ in plan}
+        # a BN tap is effectively collected AFTER the following inplace relu
+        collect_at = {(t + 1 if kind_at[t] == "bn" else t): t
+                      for t in self.taps}
+        outputs = {}
+        for idx, kind, width in plan:
             if kind == "conv":
                 x = nn.Conv(width, (3, 3), padding=1, use_bias=True,
                             name=f"features_{idx}", dtype=self.dtype)(x)
@@ -63,6 +76,6 @@ class VGG19BNFeatures(nn.Module):
                 x = nn.relu(x)
             else:  # pool
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            if idx in taps:  # torch collects the output AFTER module idx
-                outputs.append(x)
-        return outputs
+            if idx in collect_at:
+                outputs[collect_at[idx]] = x
+        return [outputs[t] for t in self.taps]

@@ -9,6 +9,12 @@ attngan_tpu.models.cnn_encoder.InceptionV3Trunk / resnet.ResNet18.
 Usage:
     python tools/convert_torch_weights.py inception path/to/inception_v3.pth out.msgpack
     python tools/convert_torch_weights.py resnet18 path/to/resnet18.pth out.msgpack
+    python tools/convert_torch_weights.py vgg19_bn path/to/vgg19_bn.pth out.msgpack
+
+Numeric parity of every converted block vs torch is oracle-tested in
+tests/test_torch_oracle_trunks.py (random weights round-tripped through this
+converter; torchvision itself isn't installed here, so the oracles are
+torch re-implementations with torchvision's exact state_dict key set).
 
 Load back with ``attngan_tpu.train.checkpoint.load_converted(path)`` and
 merge into a model's variables. Without pretrained files the framework
@@ -43,7 +49,8 @@ def convert_cnn_trunk_like(state_dict: dict) -> dict:
     torch 'A.bn.weight/bias' -> params[A]['bn']['scale'/'bias']
     torch running_mean/var   -> batch_stats[...]['mean'/'var']
     resnet 'downsample.0/1'  -> 'downsample_conv'/'downsample_bn'
-    resnet 'layerN.M.x'      -> 'layerN_M' flax module
+    numeric Sequential index -> merged into parent: 'layerN.M' -> 'layerN_M',
+                                vgg 'features.14' -> 'features_14'
     """
     params: dict = {}
     batch_stats: dict = {}
@@ -52,17 +59,17 @@ def convert_cnn_trunk_like(state_dict: dict) -> dict:
         parts = key.split(".")
         leaf = parts[-1]
         scope = parts[:-1]
-        # resnet naming fixups
+        # torch Sequential indices -> flax module-name fixups
         fixed = []
         i = 0
         while i < len(scope):
             s = scope[i]
-            if s.startswith("layer") and i + 1 < len(scope) and scope[i + 1].isdigit():
-                fixed.append(f"{s}_{scope[i + 1]}")
-                i += 2
-                continue
             if s == "downsample" and i + 1 < len(scope) and scope[i + 1] in ("0", "1"):
                 fixed.append("downsample_conv" if scope[i + 1] == "0" else "downsample_bn")
+                i += 2
+                continue
+            if i + 1 < len(scope) and scope[i + 1].isdigit():
+                fixed.append(f"{s}_{scope[i + 1]}")
                 i += 2
                 continue
             fixed.append(s)
@@ -97,13 +104,21 @@ def convert_resnet18(state_dict: dict) -> dict:
     return convert_cnn_trunk_like(sd)
 
 
+def convert_vgg19_bn(state_dict: dict) -> dict:
+    """Keep only the ``features`` trunk (the classifier head is unused by the
+    DFCVAE's tap walk, reference VAE.py:143-162)."""
+    sd = {k: v for k, v in state_dict.items() if k.startswith("features")}
+    return convert_cnn_trunk_like(sd)
+
+
 def main(argv):
     import torch
     from flax import serialization
 
     kind, src, dst = argv[1], argv[2], argv[3]
     state_dict = torch.load(src, map_location="cpu", weights_only=True)
-    variables = {"inception": convert_inception, "resnet18": convert_resnet18}[kind](state_dict)
+    variables = {"inception": convert_inception, "resnet18": convert_resnet18,
+                 "vgg19_bn": convert_vgg19_bn}[kind](state_dict)
     with open(dst, "wb") as f:
         f.write(serialization.msgpack_serialize(variables))
     print(f"wrote {dst}")
