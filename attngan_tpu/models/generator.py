@@ -59,6 +59,7 @@ class InitialStage(nn.Module):
 
     gf_dim: int  # full width at 4x4, i.e. 16 * base gf (reference "ng")
     dtype: jnp.dtype | None = None
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(self, noise, condition, train: bool = True):
@@ -69,7 +70,8 @@ class InitialStage(nn.Module):
         x = glu(x)
         x = x.reshape(-1, 4, 4, ng)
         for div in (2, 4, 8, 16):
-            x = UpBlock(ng // div, dtype=self.dtype)(x, train=train)
+            x = UpBlock(ng // div, dtype=self.dtype,
+                        fused_inference=self.fused_upsample)(x, train=train)
         return x  # (B, 64, 64, ng // 16)
 
 
@@ -84,6 +86,7 @@ class NextStage(nn.Module):
     # 71 ms/batch) — at C=gf=32 the kernel wastes 3/4 of the 128-wide vector
     # lanes. Flip on for wide-channel variants where the fusion pays.
     fused_attention: bool = False
+    fused_upsample: bool = False  # Pallas eval UpBlock (ops/pallas_upblock.py)
 
     @nn.compact
     def __call__(self, images, word_embs, mask, train: bool = True):
@@ -100,7 +103,8 @@ class NextStage(nn.Module):
         x = jnp.concatenate([images, context], axis=-1)   # (B, h, w, 2*gf)
         for _ in range(self.num_residual):
             x = ResBlock(self.gf_dim * 2, dtype=self.dtype)(x, train=train)
-        x = UpBlock(self.gf_dim, dtype=self.dtype)(x, train=train)
+        x = UpBlock(self.gf_dim, dtype=self.dtype,
+                    fused_inference=self.fused_upsample)(x, train=train)
         return x, attn
 
 
@@ -129,6 +133,7 @@ class Generator(nn.Module):
     num_stages: int = 3           # 1=64px, 2=+128, 3=+256
     dtype: jnp.dtype | None = None
     fused_attention: bool = False  # see NextStage.fused_attention
+    fused_upsample: bool = False   # Pallas eval UpBlock kernel
 
     @nn.compact
     def __call__(
@@ -145,7 +150,8 @@ class Generator(nn.Module):
         fake_imgs: List[jax.Array] = []
         attn_maps: List[jax.Array] = []
 
-        x = InitialStage(self.gf_dim * 16, dtype=self.dtype, name="gen1")(
+        x = InitialStage(self.gf_dim * 16, dtype=self.dtype,
+                         fused_upsample=self.fused_upsample, name="gen1")(
             noise, condition, train=train
         )
         fake_imgs.append(MakeImage(dtype=self.dtype, name="img_out1")(x))
@@ -153,6 +159,7 @@ class Generator(nn.Module):
         for stage in range(2, self.num_stages + 1):
             x, attn = NextStage(self.gf_dim, dtype=self.dtype,
                                 fused_attention=self.fused_attention,
+                                fused_upsample=self.fused_upsample,
                                 name=f"gen{stage}")(
                 x, word_embs, mask, train=train
             )

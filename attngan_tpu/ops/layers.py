@@ -86,7 +86,7 @@ class TorchBatchNorm(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_only: bool = False):
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -94,6 +94,14 @@ class TorchBatchNorm(nn.Module):
                                 lambda: jnp.zeros((features,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((features,), jnp.float32))
+        if fold_only:
+            # Return the eval-mode affine constants (k, b) — for callers that
+            # fold BN into a fused kernel (ops/pallas_upblock.py). ``x`` is a
+            # shape hint only; declares the exact same params/stats so the
+            # variable tree is identical to the normalizing path.
+            assert self.use_running_average, "fold_only is eval-mode only"
+            k = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return k, bias - ra_mean.value * k
         if self.use_running_average:
             # Inference fast path: fold stats+affine into one multiply-add
             # computed in the model dtype (k, b are fp32 constants folded at
@@ -217,23 +225,36 @@ class UpBlock(nn.Module):
     """2x nearest upsample -> conv3x3(out*2) -> BN -> GLU (layers.py:60-69).
 
     fused=True computes the upsample+conv via the exact parity decomposition
-    above; the parameter is still one (3,3,Cin,2*out) kernel, so both paths
-    share checkpoints. MEASURED on v5e at reference dims: the decomposition
-    LOSES despite 2.25x fewer tap-multiplies (2,751 vs 4,777 img/s end to
-    end) — four small convs plus strided interleave relayouts cost more than
-    the saved FLOPs, so the naive path is the default. Kept (and
-    equality-tested) as the starting point for a true Pallas block kernel.
+    (XLA form); fused_inference=True routes EVAL-mode forwards through the
+    Pallas block kernel (ops/pallas_upblock.py) that keeps the whole chain
+    VMEM-resident — the r1-measured XLA decomposition LOSES (2,751 vs 4,777
+    img/s: four small convs + strided interleave relayouts cost more than
+    the 2.25x FLOP saving), which is exactly the HBM-traffic problem the
+    Pallas kernel removes. All paths share one (3,3,Cin,2*out) kernel param
+    (checkpoint compatible).
     """
 
     out_features: int
     dtype: jnp.dtype | None = None
     fused: bool = False
+    fused_inference: bool = False   # Pallas eval kernel (train keeps XLA)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, x.shape[-1], self.out_features * 2))
+        # size gate: the Pallas kernel pays at >=32^2 spatial (HBM-bound
+        # tail); tiny early blocks stay on XLA where dispatch dominates
+        if self.fused_inference and not train and x.shape[1] >= 32:
+            from attngan_tpu.ops.pallas_upblock import upblock_pallas
+
+            bn = batch_norm(train, dtype=self.dtype)
+            k, b = bn(jnp.zeros((1, self.out_features * 2), jnp.float32),
+                      fold_only=True)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            return upblock_pallas(x, kernel, k, b)
         if self.fused:
             x = upsample_conv3x3_fused(x, kernel, self.dtype)
         else:

@@ -8,16 +8,14 @@ materializes O(B^2 * R * L) intermediates in HBM; this kernel computes each
 pair's whole chain (two matmuls, two softmaxes, cosine, logsumexp) in VMEM
 and writes ONE scalar per pair.
 
-Grid layout: one cell per image j; an in-kernel fori_loop walks all B texts
-while the (R, D) region block stays resident in VMEM — region features are
-loaded from HBM exactly once per image, the dominant traffic term.
+Grid layout (kernel v2): one cell per image j computing ALL B texts at once
+— the (R, D) region block is loaded from HBM exactly once per image (the
+dominant traffic term) and the per-pair chain runs as two MXU-wide matmuls
+over the flattened (B*L, D) word matrix with sublane-group softmaxes.
+(Kernel v1 walked texts in a fori_loop, serializing L=8-column matmuls,
+and lost to XLA 5.9 ms vs 1.6 ms at reference dims — BENCH.md r1 #4.)
 
 Backward: custom_vjp recomputing through the jnp path (rematerialization).
-
-Status (BENCH.md): at reference sizes XLA's vmap form is FASTER (the
-per-text loop serializes small matmuls), so losses/damsm.py defaults to
-vmap; this kernel stays available via fused=True and is the per-shard
-compute shape for losses/damsm_sharded.py's row-sharded multi-chip design.
 """
 
 from __future__ import annotations
@@ -33,45 +31,46 @@ from attngan_tpu.losses.damsm import EPS
 from attngan_tpu.ops.attention import damsm_attention
 
 
-def _image_row_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, out_ref, *,
-                      gamma1, gamma2):
-    """One grid cell = one image j vs ALL texts: the (R, D) region block is
-    loaded from HBM once and stays VMEM-resident across the text loop.
+def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, out_ref, *,
+                       gamma1, gamma2):
+    """One grid cell = one image j vs ALL texts AT ONCE (kernel v2).
 
-    Every intermediate is kept >= 2D (column/row vectors) — Mosaic's vector
-    layouts reject 1D reductions.
+    The (R, D) region block is loaded from HBM once; all B texts' words are
+    flattened to one (B*L, D) operand so both matmuls run at MXU-friendly
+    sizes — v1's per-text fori_loop serialized (R,D)x(D,L) matmuls with L=8
+    output columns, idling >90% of the array (BENCH.md r1: 5.9 ms vs XLA's
+    1.6 ms). Softmax #1 (over words per region) becomes a reduction over the
+    L-sized sublane groups of the (B, L, R) view; softmax #2 (over regions,
+    gamma1-sharpened) is a plain lane reduction.
     """
     ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
-    batch = words_ref.shape[0]
-    d = ctx.shape[-1]
+    b, l, d = words_ref.shape
+    w = words_ref[...].astype(jnp.float32).reshape(b * l, d)
     scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, batch), 1)
-
-    def body(i, acc):
-        w = words_ref[i].astype(jnp.float32)       # (L, D) text i
-        scores = jax.lax.dot_general(              # (R, L)
-            ctx, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        scores = scores + bias_ref[pl.ds(i, 1)]    # (1, L) word-mask bias
-        a1 = jax.nn.softmax(scores, axis=-1)       # over words per region
-        a2 = jax.nn.softmax(a1.T * gamma1, axis=-1)  # (L, R) over regions
-        weighted = jnp.dot(a2, ctx, preferred_element_type=jnp.float32)
-        num = jnp.sum(w * weighted, axis=-1, keepdims=True)        # (L, 1)
-        norms = (jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
-                 * jnp.sqrt(jnp.sum(weighted * weighted, axis=-1,
-                                    keepdims=True)))
-        cos = num / jnp.maximum(norms, EPS)        # (L, 1)
-        # Eq. 10 masked sum as a (1,L)x(L,1) matmul — dynamic slicing of the
-        # lane dimension isn't allowed on TPU, so the word mask is consumed
-        # as a sublane-sliced ROW and contracted against the cos COLUMN.
-        mask_row = maskf_ref[pl.ds(i, 1)]          # (1, L)
-        agg = jnp.log(jnp.dot(mask_row, jnp.exp(gamma2 * cos),
-                              preferred_element_type=jnp.float32))  # (1, 1)
-        return jnp.where(lane == i, agg, acc)      # scatter via one-hot
-
-    out_ref[0] = jax.lax.fori_loop(0, batch, body,
-                                   jnp.zeros((1, batch), jnp.float32))
+    s = jax.lax.dot_general(                       # (B*L, R)
+        w, ctx, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s + bias_ref[...].reshape(b * l, 1)        # word-mask bias (-1e9 pads)
+    s3 = s.reshape(b, l, -1)
+    # softmax #1 over WORDS per region (attention.py:83): L-sublane groups
+    m1 = jnp.max(s3, axis=1, keepdims=True)
+    e1 = jnp.exp(s3 - m1)
+    a1 = e1 / jnp.sum(e1, axis=1, keepdims=True)   # (B, L, R)
+    # softmax #2 over REGIONS per word, gamma1-sharpened (attention.py:84-85)
+    t = a1 * gamma1
+    m2 = jnp.max(t, axis=2, keepdims=True)
+    e2 = jnp.exp(t - m2)
+    a2 = (e2 / jnp.sum(e2, axis=2, keepdims=True)).reshape(b * l, -1)
+    weighted = jnp.dot(a2, ctx, preferred_element_type=jnp.float32)  # (BL, D)
+    num = jnp.sum(w * weighted, axis=-1, keepdims=True)              # (BL, 1)
+    norms = (jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
+             * jnp.sqrt(jnp.sum(weighted * weighted, axis=-1,
+                                keepdims=True)))
+    cos = num / jnp.maximum(norms, EPS)
+    # Eq. 10: log sum_l exp(gamma2*cos) over REAL words only
+    expg = jnp.exp(gamma2 * cos).reshape(b, l) * maskf_ref[...]
+    out_ref[0] = jnp.log(jnp.sum(expg, axis=1)).reshape(1, b)
 
 
 def _similarity_grid(img_features, words, bias, maskt, gamma1, gamma2,
@@ -79,7 +78,7 @@ def _similarity_grid(img_features, words, bias, maskt, gamma1, gamma2,
     b, r, d = img_features.shape
     l = words.shape[1]
     out = pl.pallas_call(
-        functools.partial(_image_row_kernel, gamma1=gamma1, gamma2=gamma2),
+        functools.partial(_image_cell_kernel, gamma1=gamma1, gamma2=gamma2),
         grid=(b,),                                  # one cell per image j
         in_specs=[
             pl.BlockSpec((1, r, d), lambda j: (j, 0, 0),
