@@ -70,6 +70,41 @@ def _compute_goldens():
     mu = jnp.asarray(rng.standard_normal((2, 6)), jnp.float32)
     logvar = jnp.asarray(rng.standard_normal((2, 6)), jnp.float32) * 0.3
     out["kl"] = np.float64(kl_loss(mu, logvar))
+
+    # Generator cascade forward (the product's actual output): fixed init,
+    # fixed noise/embeddings -> per-stage image fingerprints + mu/logvar.
+    from attngan_tpu.models.discriminators import Discriminator
+    from attngan_tpu.models.generator import Generator
+
+    gen = Generator(gf_dim=4, emb_dim=8, z_dim=6, cond_dim=4, num_stages=3)
+    b, L = 2, 5
+    noise = jnp.asarray(rng.standard_normal((b, 6)), jnp.float32)
+    sent = jnp.asarray(rng.standard_normal((b, 8)), jnp.float32)
+    wordsg = jnp.asarray(rng.standard_normal((b, L, 8)), jnp.float32)
+    gmask = jnp.asarray([[1, 1, 1, 1, 0], [1, 1, 0, 0, 0]], jnp.int32)
+    gvars = gen.init(jax.random.key(7), noise, sent, wordsg, gmask,
+                     jax.random.key(8))
+    fakes, attns, gmu, glogvar = gen.apply(
+        gvars, noise, sent, wordsg, gmask, jax.random.key(8), train=False)
+    for img in fakes:
+        out[f"gen_img{img.shape[1]}_sum"] = np.asarray(
+            jnp.sum(img, axis=(1, 2, 3)), np.float64)
+        out[f"gen_img{img.shape[1]}_absmean"] = np.asarray(
+            jnp.mean(jnp.abs(img), axis=(1, 2, 3)), np.float64)
+    for attn in attns:
+        out[f"gen_attn{attn.shape[-1]}_sum"] = np.asarray(
+            jnp.sum(attn, axis=(1, 2, 3)), np.float64)
+    out["gen_mu"] = np.asarray(gmu, np.float64)
+    out["gen_logvar"] = np.asarray(glogvar, np.float64)
+
+    # Discriminator forwards at each resolution
+    for res in (64, 128, 256):
+        disc = Discriminator(df_dim=4, resolution=res)
+        x = jnp.asarray(rng.standard_normal((2, res, res, 3)) * 0.3,
+                        jnp.float32)
+        dvars = disc.init(jax.random.key(10 + res), x, train=True)
+        probs = disc.apply(dvars, x, train=False)
+        out[f"disc{res}_probs"] = np.asarray(probs, np.float64)
     return out
 
 
