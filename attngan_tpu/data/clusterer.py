@@ -8,9 +8,12 @@ ascending ladder of k values (coarse -> fine); each level appends a token
 class_id used by the DAMSM mismatch masks.
 
 Divergence: the reference reduces with UMAP (bedrooms.py:274-276); umap is
-not installed here, so PCA is the default reducer with UMAP used when
-importable. sklearn's AgglomerativeClustering dropped the ``affinity`` kwarg
-in favor of ``metric`` — handled for both API generations.
+not installed here, so the default falls back to PCA, with sklearn's
+SpectralEmbedding available as the closest nonlinear (neighbor-graph)
+analog — pick with ``reducer=``. Reducer impact on cluster quality is
+measurable with tools/cluster_quality_run.py (ARI vs known factors).
+sklearn's AgglomerativeClustering dropped the ``affinity`` kwarg in favor
+of ``metric`` — handled for both API generations.
 """
 
 from __future__ import annotations
@@ -54,16 +57,33 @@ def _make_cluster_labels(x: np.ndarray, k: int, method: str) -> List[str]:
     return [f"k{k}c{c}" for c in labels]
 
 
-def _reduce_dimensionality(x: np.ndarray, outdims: int) -> np.ndarray:
-    try:
-        from umap import UMAP  # reference reducer (bedrooms.py:274-276)
+def _reduce_dimensionality(x: np.ndarray, outdims: int,
+                           reducer: str = "auto") -> np.ndarray:
+    """reducer: 'umap' (the reference's choice, if installed), 'pca',
+    'spectral' (neighbor-graph nonlinear embedding, the closest available
+    analog to UMAP), or 'auto' = umap if importable else pca."""
+    if reducer in ("auto", "umap"):
+        try:
+            from umap import UMAP  # reference reducer (bedrooms.py:274-276)
 
-        return UMAP(n_components=outdims).fit_transform(x)
-    except ImportError:
+            return UMAP(n_components=outdims).fit_transform(x)
+        except ImportError:
+            if reducer == "umap":
+                raise
+            reducer = "pca"
+    if reducer == "spectral":
+        from sklearn.manifold import SpectralEmbedding
+
+        outdims = min(outdims, x.shape[0] - 2)
+        return SpectralEmbedding(
+            n_components=outdims,
+            n_neighbors=min(15, x.shape[0] - 1)).fit_transform(x)
+    if reducer == "pca":
         from sklearn.decomposition import PCA
 
         outdims = min(outdims, min(x.shape))
         return PCA(n_components=outdims).fit_transform(x)
+    raise ValueError(f"unknown reducer {reducer!r}")
 
 
 class HierarchicalClusterer:
@@ -97,6 +117,7 @@ class HierarchicalClusterer:
         batch_size: int = 32,
         method: str = "agglomerative_complete",
         embeddings: Optional[np.ndarray] = None,
+        reducer: str = "auto",
     ) -> None:
         """In-place: appends caption tokens and assigns class_ids
         (reference bedrooms.py:248-271)."""
@@ -104,7 +125,7 @@ class HierarchicalClusterer:
             embeddings = self.embed_dataset(dataset, batch_size)
         x = embeddings
         if latent_dims < x.shape[1]:
-            x = _reduce_dimensionality(x, latent_dims)
+            x = _reduce_dimensionality(x, latent_dims, reducer)
         labels = None
         for k in determine_k_values(max_vocab_size, min_clusters):
             labels = _make_cluster_labels(x, k, method)

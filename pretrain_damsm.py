@@ -35,6 +35,10 @@ def parse_args():
                    choices=["kmeans", "agglomerative_single_linkage",
                             "agglomerative_complete"])
     p.add_argument("--latent-dims", type=int, default=128)
+    p.add_argument("--reducer", default="auto",
+                   choices=["auto", "umap", "pca", "spectral"],
+                   help="embedding reducer before clustering (reference "
+                        "uses UMAP; spectral is the sklearn analog)")
     p.add_argument("--min-clusters", type=int, default=5)
     p.add_argument("--max-vocab-size", type=int, default=1000)
     p.add_argument("--epochs", type=int, default=30)
@@ -89,7 +93,8 @@ def main():
         HierarchicalClusterer().cluster(
             dataset, latent_dims=args.latent_dims,
             max_vocab_size=args.max_vocab_size,
-            min_clusters=args.min_clusters, method=args.cluster_method)
+            min_clusters=args.min_clusters, method=args.cluster_method,
+            reducer=args.reducer)
         os.makedirs(os.path.dirname(args.captions_path) or ".", exist_ok=True)
         dataset.save_captions_and_class_ids(args.captions_path)
     elif args.synthetic:

@@ -17,6 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# The suite is compile-dominated on a 1-core host (the 3-stage GAN step
+# alone costs ~3 min of XLA time); a persistent cache keyed on HLO makes
+# repeat runs cheap without changing what is tested.
+_cache_dir = os.environ.get("ATTNGAN_TEST_JAX_CACHE",
+                            os.path.expanduser("~/.cache/attngan_test_jax"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU platform"
 

@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--method", default="agglomerative_complete",
                    choices=["kmeans", "agglomerative_single_linkage",
                             "agglomerative_complete"])
+    p.add_argument("--reducer", default="pca",
+                   choices=["auto", "umap", "pca", "spectral"],
+                   help="spectral = sklearn neighbor-graph embedding, the "
+                        "closest available analog to the reference's UMAP")
     p.add_argument("--embedder-weights", default="",
                    help="converted resnet18 msgpack "
                         "(tools/convert_torch_weights.py); default random init")
@@ -80,17 +84,17 @@ def run(args):
     embeddings = clusterer.embed_dataset(dataset)
     x = embeddings
     if args.latent_dims < x.shape[1]:
-        x = _reduce_dimensionality(x, args.latent_dims)
+        x = _reduce_dimensionality(x, args.latent_dims, args.reducer)
 
     clusterer.cluster(dataset, latent_dims=args.latent_dims,
                       max_vocab_size=args.max_vocab_size,
                       min_clusters=args.min_clusters, method=args.method,
-                      embeddings=embeddings)
+                      embeddings=embeddings, reducer=args.reducer)
 
     k_values = determine_k_values(args.max_vocab_size, args.min_clusters)
     summary = {"n_images": len(dataset.records), "k_ladder": k_values,
                "method": args.method,
-               "reducer": "pca",  # umap unavailable in this env
+               "reducer": args.reducer,
                "levels": []}
     for level, k in enumerate(k_values):
         tokens = [rec.caption[level] for rec in dataset.records]
