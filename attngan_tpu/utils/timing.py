@@ -92,6 +92,39 @@ def count_parameters(params, name: str = "model", verbose: bool = True) -> int:
     return total
 
 
+def device_timeit(fn: Callable, *args, iters: int = 20, warmup: int = 3,
+                  fold: Callable[[Any], Any] | None = None) -> float:
+    """Honest per-call seconds for a jitted ``fn(*args)``.
+
+    ``jax.block_until_ready`` alone does not reliably fence independent
+    dispatches through remote-device tunnels (measured: trunk forwards
+    "finishing" above the chip's theoretical peak). Instead every
+    iteration's output is folded into an on-device scalar — a true data
+    dependency chain, since a dependent program cannot start before the
+    producer program completes — and ONE host readback of that scalar ends
+    the clock. ``fold`` maps the output pytree to a scalar; the default
+    reads one element of the first leaf (cheapest full fence).
+    """
+    import jax.numpy as jnp
+
+    if fold is None:
+        def fold(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.real(jnp.ravel(leaf)[0]).astype(jnp.float32)
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    float(fold(out))                       # fence warmup + compile
+    acc = jnp.zeros((), jnp.float32)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        acc = acc + fold(out).astype(jnp.float32)
+    assert np.isfinite(float(acc))         # single readback = end of work
+    return (time.perf_counter() - start) / iters
+
+
 class StepTimer:
     """Rolling steps/sec with an initial warmup skip (compile step)."""
 

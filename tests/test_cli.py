@@ -10,7 +10,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(*argv, timeout=120):
-    return subprocess.run([sys.executable, *argv], cwd=REPO,
+    # Subprocesses inherit the session env, which may preset a real-TPU
+    # platform (JAX_PLATFORMS=axon). CLI tests must run hermetically on the
+    # same forced 8-device CPU mesh as the in-process suite (conftest.py).
+    env = dict(os.environ)
+    # The session's sitecustomize eagerly registers+initializes the remote
+    # TPU backend, which wins over JAX_PLATFORMS=cpu; dropping its trigger
+    # env var keeps the subprocess off the tunnel entirely.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    return subprocess.run([sys.executable, *argv], cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=timeout)
 
 

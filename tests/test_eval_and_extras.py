@@ -112,3 +112,27 @@ def test_damsm_cached_step_matches_uncached(rng):
     # fp16 cache storage costs a little precision
     np.testing.assert_allclose(float(m_full["loss"]),
                                float(m_cached["loss"]), rtol=2e-2)
+
+
+def test_device_timeit_fences_and_times():
+    """device_timeit must return a sane positive per-call time and support a
+    custom fold — the honest-timing primitive every benchmark script uses
+    (block_until_ready does not fence reliably through remote tunnels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from attngan_tpu.utils.timing import device_timeit
+
+    x = jnp.ones((64, 64))
+    f = jax.jit(lambda a: a @ a)
+    t = device_timeit(f, x, iters=3, warmup=1)
+    assert 0 < t < 5.0
+
+    seen = []
+
+    def fold(out):
+        seen.append(True)
+        return jnp.sum(out)
+
+    t2 = device_timeit(f, x, iters=2, warmup=1, fold=fold)
+    assert 0 < t2 < 5.0 and len(seen) == 3  # warmup fence + 2 iters
