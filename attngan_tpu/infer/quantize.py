@@ -1,0 +1,207 @@
+"""Post-training int8 quantization of the inference sampler.
+
+No reference equivalent — ku222/Attention-GAN has no serving path at all
+(test.py there is a notebook cell). This is a TPU-native serving lever: the
+v5e MXU's int8 throughput is 2x bf16 and int8 activations halve HBM bytes on
+the bandwidth-bound generator tail, so the flagship sampling path gets a
+second speed tier with a measured, bounded quality delta.
+
+Method (classic symmetric post-training quantization):
+
+* **Weights**: per-output-channel symmetric int8, scales derived from the
+  weight tensor *inside* the jitted forward (weights are step-invariant at
+  inference; XLA folds the quantization of a frozen param into a cheap
+  prologue — no separate quantized checkpoint format needed).
+* **Activations**: per-tensor symmetric int8 with STATIC scales, calibrated
+  by ONE jitted forward that records max|x| at every Conv/Dense input via a
+  flax method interceptor (`nn.intercept_methods`) — the recorded maxima are
+  traced scalars returned from the jit, so calibration runs on-device at
+  full speed even through a remote tunnel.
+* Convs/matmuls execute as s8 x s8 -> s32 MXU ops
+  (``preferred_element_type=int32``); BN, GLU, attention, softmax, tanh and
+  every other elementwise op stay in the float compute dtype.
+
+The interceptor leaves any module it cannot faithfully reproduce (grouped /
+dilated convs, missing calibration record) on the float path, so quantized
+inference degrades to the exact float math rather than to wrong math.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+
+def _path_of(module: nn.Module) -> str:
+    return "/".join(module.path)
+
+
+def _is_quantizable(module: nn.Module) -> bool:
+    if isinstance(module, nn.Dense):
+        return True
+    if isinstance(module, nn.Conv):
+        # only plain dense convs; anything exotic stays float
+        return (module.feature_group_count == 1
+                and module.input_dilation in (1, None)
+                and module.kernel_dilation in (1, None))
+    return False
+
+
+def _collecting_interceptor(records: Dict[str, jax.Array]):
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if (_is_quantizable(m) and args
+                and jnp.issubdtype(jnp.asarray(args[0]).dtype, jnp.floating)):
+            records[_path_of(m)] = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def _pair(v) -> Tuple[int, int]:
+    if v is None:
+        return (1, 1)
+    if isinstance(v, int):
+        return (v, v)
+    t = tuple(v)
+    return t * 2 if len(t) == 1 else t
+
+
+def _conv_padding(module: nn.Conv):
+    pad = module.padding
+    if isinstance(pad, str):
+        return pad
+    if isinstance(pad, int):
+        return ((pad, pad), (pad, pad))
+    out = []
+    for p in pad:
+        out.append((p, p) if isinstance(p, int) else tuple(p))
+    return tuple(out)
+
+
+def _quantizing_interceptor(act_scales: Dict[str, float],
+                            skip: Iterable[str] = ()):
+    skip = set(skip)
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        path = _path_of(m)
+        if (not _is_quantizable(m) or path in skip
+                or path not in act_scales or not args):
+            return next_fun(*args, **kwargs)
+        x = jnp.asarray(args[0])
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            return next_fun(*args, **kwargs)
+
+        params = m.variables["params"]
+        kernel = jnp.asarray(params["kernel"], jnp.float32)
+        sx = max(float(act_scales[path]), 1e-8) / 127.0
+        qx = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+
+        if isinstance(m, nn.Dense):
+            sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0), 1e-12) / 127.0
+            qw = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+            y = lax.dot_general(qx, qw, (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        else:
+            sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                             1e-12) / 127.0
+            qw = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+            y = lax.conv_general_dilated(
+                qx, qw, _pair(m.strides), _conv_padding(m),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (sx * sw)
+        if m.use_bias:
+            out = out + jnp.asarray(params["bias"], jnp.float32)
+        return out.astype(x.dtype)
+
+    return interceptor
+
+
+def calibrate(apply_fn, *args, **kwargs):
+    """Run ``apply_fn(*args, **kwargs)`` under a recording interceptor.
+
+    Returns (output, {module_path: max_abs_input}) where the maxima are
+    jax scalars — safe to call inside jit; float() them outside.
+    """
+    records: Dict[str, jax.Array] = {}
+    with nn.intercept_methods(_collecting_interceptor(records)):
+        out = apply_fn(*args, **kwargs)
+    return out, records
+
+
+def quantized_call(act_scales: Dict[str, float], apply_fn, *args,
+                   skip: Iterable[str] = (), **kwargs):
+    """Run ``apply_fn`` with every calibrated Conv/Dense in int8."""
+    with nn.intercept_methods(_quantizing_interceptor(act_scales, skip)):
+        return apply_fn(*args, **kwargs)
+
+
+class Int8Sampler:
+    """Drop-in int8 twin of infer.sampler.Sampler's token path.
+
+    Calibrates activation scales on the first batch it sees (or an explicit
+    ``calibrate_on`` batch), then serves every following call through the
+    quantized jitted sampler.
+    """
+
+    def __init__(self, trainer, state, skip: Iterable[str] = ()):
+        from attngan_tpu.infer.sampler import denormalize
+        from attngan_tpu.data.dataset import word_mask
+
+        self.trainer = trainer
+        self.state = state
+        self.skip = tuple(skip)
+        self.act_scales: Dict[str, float] | None = None
+
+        cfg = trainer.cfg
+
+        def _body(state, tokens, lengths, key, runner):
+            k_noise, k_reparam = jax.random.split(key)
+            word_embs, sent_embs = trainer.rnn.apply(
+                {"params": state.rnn_params}, tokens, lengths, train=False)
+            mask = word_mask(lengths, cfg.seq_len)
+            noise = jax.random.normal(k_noise, (tokens.shape[0], cfg.z_dim))
+            out = runner(
+                trainer.generator.apply,
+                {"params": state.gen_params, "batch_stats": state.gen_stats},
+                noise, sent_embs, word_embs, mask, k_reparam, train=False)
+            return out
+
+        @jax.jit
+        def _calib_fn(state, tokens, lengths, key):
+            (fakes, _, _, _), records = _body(
+                state, tokens, lengths, key,
+                lambda fn, *a, **kw: calibrate(fn, *a, **kw))
+            return denormalize(fakes[-1]), records
+
+        self._calib_fn = _calib_fn
+
+        def _q_fn(act_scales_tuple, state, tokens, lengths, key):
+            scales = dict(act_scales_tuple)
+            fakes, _, _, _ = _body(
+                state, tokens, lengths, key,
+                functools.partial(quantized_call, scales, skip=self.skip))
+            return denormalize(fakes[-1])
+
+        # act scales become trace-time constants (hashable tuple)
+        self._q_fn = jax.jit(_q_fn, static_argnums=(0,))
+
+    def calibrate_on(self, tokens, lengths, key) -> Dict[str, float]:
+        imgs, records = self._calib_fn(self.state, tokens, lengths, key)
+        jax.block_until_ready(imgs)
+        self.act_scales = {k: float(v) for k, v in records.items()}
+        return self.act_scales
+
+    def generate_from_tokens(self, tokens, lengths, key) -> jax.Array:
+        if self.act_scales is None:
+            self.calibrate_on(tokens, lengths, key)
+        scales = tuple(sorted(self.act_scales.items()))
+        return self._q_fn(scales, self.state, tokens, lengths, key)

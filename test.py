@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--seq-len", type=int, default=5)
     p.add_argument("--image-encoder", default="inception_v3")
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the generator via post-training int8 "
+                        "quantization (infer/quantize.py); calibrates "
+                        "activation scales on the first batch")
     p.add_argument("--benchmark", action="store_true")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -110,6 +114,13 @@ def main():
     state = replicate(state, mesh)
     sampler = Sampler(trainer, state, caption_handler=handler, mesh=mesh)
 
+    gen_fn = sampler.generate_from_tokens
+    if args.int8:
+        from attngan_tpu.infer.quantize import Int8Sampler
+
+        int8_sampler = Int8Sampler(trainer, state)
+        gen_fn = int8_sampler.generate_from_tokens
+
     if args.benchmark:
         rng = np.random.default_rng(args.seed)
         tokens = jnp.asarray(
@@ -117,20 +128,25 @@ def main():
             jnp.int32)
         lengths = jnp.full((args.batch_size,), cfg.seq_len, jnp.int32)
         tokens, lengths = shard_batch((tokens, lengths), mesh)
-        imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(0))
-        jax.block_until_ready(imgs)  # compile + warmup
+        imgs = gen_fn(tokens, lengths, jax.random.key(0))
+        jax.block_until_ready(imgs)  # compile + warmup (+ int8 calibration)
         iters = 10
+        # every iteration's output folds into an on-device scalar; ONE host
+        # readback ends the clock (block_until_ready does not reliably fence
+        # independent dispatches through remote-device tunnels)
+        acc = jnp.zeros(())
         start = time.perf_counter()
         for i in range(iters):
-            imgs = sampler.generate_from_tokens(tokens, lengths,
-                                                jax.random.key(i))
-        jax.block_until_ready(imgs)
+            imgs = gen_fn(tokens, lengths, jax.random.key(i))
+            acc = acc + jnp.ravel(imgs)[0].astype(jnp.float32)
+        assert np.isfinite(float(acc))
         dt = time.perf_counter() - start
         rate = args.batch_size * iters / dt
         print(json.dumps({"metric": "gen_images_per_sec",
                           "value": round(rate, 2), "unit": "img/s",
                           "batch_size": args.batch_size,
                           "devices": mesh.size,
+                          "int8": bool(args.int8),
                           "output_sharded_over":
                               len(imgs.sharding.device_set)}))
         return
@@ -140,6 +156,9 @@ def main():
         captions[:2] = handler.swap_captions(captions[:2], num=args.swap,
                                              reverse=args.swap_reverse)
     os.makedirs(args.out, exist_ok=True)
+    if args.int8 and (args.all_stages or args.save_attention):
+        raise SystemExit("--int8 serves the final-stage path only; drop "
+                         "--all-stages/--save-attention")
     if args.all_stages or args.save_attention:
         from attngan_tpu.utils.imaging import save_attention_maps
 
@@ -162,7 +181,12 @@ def main():
                     save_attention_maps(np.asarray(attn[name_idx]), path)
                     print(f"wrote {path}")
         return
-    images = sampler.generate_from_captions(captions, seed=args.seed)
+    if args.int8:
+        tokens, lengths = handler.preprocess(captions, max_seqlen=cfg.seq_len)
+        images = np.asarray(gen_fn(jnp.asarray(tokens), jnp.asarray(lengths),
+                                   jax.random.key(args.seed)))
+    else:
+        images = sampler.generate_from_captions(captions, seed=args.seed)
     for name, img in zip(args.image_names, images):
         path = os.path.join(args.out, f"{os.path.basename(name)}.png")
         save_image(img, path)

@@ -77,3 +77,24 @@ def test_config_module_exposes_dataclasses():
                 "assert config.GanConfig().gf_dim == 32; "
                 "print(config.Config.CHECKPOINT_DIR)")
     assert proc.returncode == 0, proc.stderr[-500:]
+
+
+def test_test_py_int8_benchmark(tmp_path):
+    """--int8 must calibrate and serve the quantized sampler end to end."""
+    import json
+
+    caps = {f"img_{i}.jpg": [[f"k2c{i % 2}", f"k4c{i % 4}"], i % 4]
+            for i in range(4)}
+    caps_path = tmp_path / "caps.json"
+    caps_path.write_text(json.dumps(caps))
+
+    proc = _run("test.py", "--captions-path", str(caps_path),
+                "--checkpoint", str(tmp_path / "nonexistent"),
+                "--benchmark", "--int8", "--batch-size", "8",
+                "--num-stages", "1", "--gf-dim", "4", "--df-dim", "4",
+                "--emb-dim", "16", "--image-encoder", "tiny",
+                "--compute-dtype", "", timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["int8"] is True
+    assert result["value"] > 0

@@ -1,0 +1,105 @@
+"""int8 post-training quantization (infer/quantize.py).
+
+The quantized path must (a) reproduce the float math within classic int8
+tolerance on well-conditioned inputs, (b) fall back to the float path for
+anything it cannot faithfully reproduce, and (c) keep the end-to-end
+sampler's images close to the bf16/fp32 reference output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from attngan_tpu.infer.quantize import Int8Sampler, calibrate, quantized_call
+
+
+class _ConvNet(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(16, (3, 3), padding=1, name="c1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(8, (3, 3), strides=2, padding=1, use_bias=False,
+                    name="c2")(x)
+        return nn.Dense(4, name="d")(x.reshape(x.shape[0], -1))
+
+
+def test_calibrate_records_every_quantizable_input(rng):
+    net = _ConvNet()
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    variables = net.init(jax.random.key(0), x)
+    out, records = calibrate(net.apply, variables, x)
+    assert set(records) == {"c1", "c2", "d"}
+    assert float(records["c1"]) == pytest.approx(float(jnp.max(jnp.abs(x))))
+    np.testing.assert_allclose(out, net.apply(variables, x), rtol=1e-6)
+
+
+def test_quantized_matches_float_within_int8_tolerance(rng):
+    net = _ConvNet()
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)), jnp.float32)
+    variables = net.init(jax.random.key(0), x)
+    ref = net.apply(variables, x)
+    _, records = calibrate(net.apply, variables, x)
+    scales = {k: float(v) for k, v in records.items()}
+    got = quantized_call(scales, net.apply, variables, x)
+    # symmetric int8: ~0.8% per-tensor step; three stacked layers
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale < 0.08, (err, scale)
+    corr = float(jnp.corrcoef(got.ravel(), ref.ravel())[0, 1])
+    assert corr > 0.999
+
+
+def test_uncalibrated_and_grouped_modules_stay_float(rng):
+    class Grouped(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Conv(8, (3, 3), padding=1, feature_group_count=4,
+                           name="g")(x)
+
+    net = Grouped()
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.float32)
+    variables = net.init(jax.random.key(0), x)
+    _, records = calibrate(net.apply, variables, x)
+    assert records == {}                      # grouped conv not quantizable
+    ref = net.apply(variables, x)
+    got = quantized_call({"g": 1.0}, net.apply, variables, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # missing calibration record => exact float path
+    net2 = _ConvNet()
+    x2 = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    v2 = net2.init(jax.random.key(1), x2)
+    got2 = quantized_call({}, net2.apply, v2, x2)
+    np.testing.assert_array_equal(np.asarray(got2),
+                                  np.asarray(net2.apply(v2, x2)))
+
+
+def test_int8_sampler_end_to_end_close_to_float(rng):
+    from attngan_tpu.core.config import GanConfig
+    from attngan_tpu.infer.sampler import Sampler
+    from attngan_tpu.train.gan_trainer import GanTrainer
+
+    vocab = 50
+    cfg = GanConfig(gf_dim=8, df_dim=8, emb_dim=32, seq_len=4, num_stages=2,
+                    compute_dtype="", image_encoder="tiny")
+    trainer = GanTrainer(cfg, vocab_size=vocab)
+    state = trainer.init_state(seed=0)
+
+    tokens = jnp.asarray(rng.integers(0, vocab, (4, cfg.seq_len)), jnp.int32)
+    lengths = jnp.full((4,), cfg.seq_len, jnp.int32)
+    key = jax.random.key(7)
+
+    ref = Sampler(trainer, state).generate_from_tokens(tokens, lengths, key)
+    qs = Int8Sampler(trainer, state)
+    got = qs.generate_from_tokens(tokens, lengths, key)
+
+    assert got.shape == ref.shape
+    assert qs.act_scales and all(v > 0 for v in qs.act_scales.values())
+    # images live in [0, 1]; random-init GAN output is low-contrast, so the
+    # mean-abs bound is the meaningful one
+    mad = float(jnp.mean(jnp.abs(got - ref)))
+    assert mad < 0.05, mad
+    # repeat call reuses the cached scales (no recalibration)
+    again = qs.generate_from_tokens(tokens, lengths, key)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(got))
