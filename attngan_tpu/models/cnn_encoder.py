@@ -215,6 +215,15 @@ class CNNEncoder(nn.Module):
     out_dim: int = 256
     dtype: jnp.dtype | None = None
 
+    @nn.nowrap
+    def make_trunk(self) -> nn.Module:
+        """The standalone trunk module (param tree == the 'trunk' subtree of
+        this encoder) — lets trainers run the frozen forward outside
+        value_and_grad / precompute cached features. @nowrap: flax must not
+        adopt the returned module as a child of this (possibly unbound)
+        encoder."""
+        return InceptionV3Trunk(dtype=self.dtype)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         regions, pooled = InceptionV3Trunk(name="trunk", dtype=self.dtype)(x, train)
@@ -264,6 +273,11 @@ class TinyCNNEncoder(nn.Module):
     out_dim: int = 256
     width: int = 64
     dtype: jnp.dtype | None = None
+
+    @nn.nowrap
+    def make_trunk(self) -> nn.Module:
+        """See CNNEncoder.make_trunk."""
+        return TinyTrunk(width=self.width, dtype=self.dtype)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -127,7 +127,8 @@ class DamsmTrainer:
     def train_step(self, state: DamsmState, batch: Dict[str, jax.Array]):
         """One jitted optimization step. batch: tokens, lengths, class_ids,
         img256 (all device arrays, globally sharded)."""
-        return self._step_fn(state, batch)
+        self.trunk_module()   # construct outside the jit trace (flax forbids
+        return self._step_fn(state, batch)  # module creation mid-trace)
 
     def encode_text(self, state: DamsmState, tokens, lengths):
         return self.rnn.apply({"params": state.rnn_params}, tokens, lengths,
@@ -151,13 +152,14 @@ class DamsmTrainer:
     # TPU-native throughput lever the eager torch reference cannot express.
 
     def trunk_module(self):
-        from attngan_tpu.models.cnn_encoder import InceptionV3Trunk, TinyTrunk
-
-        dtype = (jnp.dtype(self.cfg.compute_dtype)
-                 if self.cfg.compute_dtype else None)
-        if self.cfg.image_encoder == "inception_v3":
-            return InceptionV3Trunk(dtype=dtype)
-        return TinyTrunk(width=64, dtype=dtype)
+        """The encoder's standalone trunk (params == state.cnn_trunk_params
+        ['trunk']); every encoder — including test doubles — provides it via
+        make_trunk(). Memoized per encoder instance so the jitted step can
+        reuse it (flax modules cannot be constructed inside a trace)."""
+        if getattr(self, "_trunk_src", None) is not self.cnn:
+            self._trunk = self.cnn.make_trunk()
+            self._trunk_src = self.cnn
+        return self._trunk
 
     def precompute_trunk_features(self, state: DamsmState, dataset,
                                   batch_size: int = 0):
@@ -309,29 +311,44 @@ def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
     labels = jnp.arange(batch["tokens"].shape[0])  # match labels (trainer.py:20-25)
     mask = word_mask(batch["lengths"], trainer.seq_len)
 
+    # The frozen trunk forward runs OUTSIDE loss_fn: only the heads/RNN are
+    # differentiated, and hoisting the trunk out of value_and_grad stops
+    # autodiff residual-saving from de-fusing every conv+BN+relu in it
+    # (measured honest cost of leaving it inside: the 12.6 ms trunk forward
+    # balloons the 21.6 ms step to 45 ms). Mathematically identical — the
+    # trunk's params receive no gradient either way, and jax.grad of the
+    # heads needs only the trunk's OUTPUT activations.
+    trunk = trainer.trunk_module()
+    trunk_vars = {"params": state.cnn_trunk_params["trunk"]}
+    if state.cnn_stats:
+        trunk_vars["batch_stats"] = state.cnn_stats["trunk"]
+    if trainer.cfg.trunk_train_mode_bn:
+        # Reproduce the reference's accidental quirk: the frozen trunk is
+        # never put in eval() (no eval call anywhere in reference
+        # pretrain_damsm.py:59-73), so its BN normalizes with BATCH stats
+        # and keeps updating the running averages.
+        (trunk_regions, trunk_pooled), mutated = trunk.apply(
+            trunk_vars, batch["img256"], train=True, mutable=["batch_stats"],
+        )
+        new_stats = ({"trunk": mutated["batch_stats"]}
+                     if state.cnn_stats else None)
+    else:
+        trunk_regions, trunk_pooled = trunk.apply(
+            trunk_vars, batch["img256"], train=False,
+        )
+        new_stats = None
+    b = trunk_regions.shape[0]
+    trunk_regions = jax.lax.stop_gradient(
+        trunk_regions.reshape(b, -1, trunk_regions.shape[-1]))
+    trunk_pooled = jax.lax.stop_gradient(trunk_pooled)
+
     def loss_fn(trainable):
         word_embs, sent_embs = trainer.rnn.apply(
             {"params": trainable["rnn"]}, batch["tokens"], batch["lengths"],
             train=True, rngs={"dropout": k_drop},
         )
-        cnn_params = _merge_cnn_params(trainable["cnn_heads"],
-                                       state.cnn_trunk_params)
-        cnn_vars = {"params": cnn_params, "batch_stats": state.cnn_stats}
-        if trainer.cfg.trunk_train_mode_bn:
-            # Reproduce the reference's accidental quirk: the frozen trunk is
-            # never put in eval() (no eval call anywhere in reference
-            # pretrain_damsm.py:59-73), so its BN normalizes with BATCH stats
-            # and keeps updating the running averages.
-            (regions, cnn_code), mutated = trainer.cnn.apply(
-                cnn_vars, batch["img256"], train=True,
-                mutable=["batch_stats"],
-            )
-            new_stats = mutated["batch_stats"]
-        else:
-            regions, cnn_code = trainer.cnn.apply(
-                cnn_vars, batch["img256"], train=False,
-            )
-            new_stats = None
+        regions, cnn_code = _apply_heads(trainable["cnn_heads"],
+                                         trunk_regions, trunk_pooled)
         total, parts = _compute_damsm_loss(trainer, regions, cnn_code,
                                            word_embs, sent_embs, labels, mask,
                                            batch["class_ids"])

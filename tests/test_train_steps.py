@@ -174,6 +174,10 @@ def _make_bn_encoder():
     class BNEncoder(nn.Module):
         out_dim: int = 8
 
+        @nn.nowrap
+        def make_trunk(self):
+            return BNTrunk()
+
         @nn.compact
         def __call__(self, x, train: bool = False):
             regions, pooled = BNTrunk(name="trunk")(x, train)
