@@ -65,17 +65,22 @@ def words_loss(
     gamma2: float = 5.0,
     gamma3: float = 10.0,
     wlambda: float = 5.0,
-    fused: Optional[bool] = None,     # None = XLA vmap form (measured default)
+    fused: Optional[bool] = None,     # None = Pallas on TPU (measured default)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (scalar loss, diagonal attention maps (B, L, R))."""
     if fused is None:
-        # Measured on v5e (B=64, R=289, D=256): XLA's batched-einsum form is
-        # faster than the per-pair Pallas kernel (1.6 ms vs 5.9 ms fwd) —
-        # the pairwise chain is MXU-batchable and XLA fuses it well, while
-        # the kernel's per-text fori_loop serializes tiny matmuls. The
-        # kernel remains available (fused=True) for HBM-constrained regimes;
-        # default is the vmap form, which also SPMD-partitions cleanly.
-        fused = False
+        # Honest on-device A/B (v5e, R=289, D=256, L=8; device_timeit
+        # readback-chain timing): the v2 Pallas kernel (ops/pallas_damsm.py,
+        # one grid cell per image vs ALL texts) wins the forward at every
+        # batch (1.7 vs 9.9 ms @ B=64; 4.9 vs 5.4 @ 128; 5.6 vs 8.1 @ 256)
+        # by loading each (R, D) region block from HBM once instead of
+        # materializing the O(B^2 L R) pairwise intermediates. For
+        # fwd+bwd the kernel's backward recomputes through the XLA vjp, so
+        # it wins at the reference batch (2.7 vs 3.6 ms @ B=64), ties at
+        # 128 (9.1 vs 9.2) and loses at 256 (26.2 vs 22.7) — gate on batch.
+        # Off-TPU the vmap form runs (the kernel would need interpret mode).
+        fused = (jax.default_backend() == "tpu"
+                 and img_features.shape[0] <= 128)
     if fused:
         from attngan_tpu.ops.pallas_damsm import words_loss_pallas
 

@@ -30,44 +30,48 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _lstm_scan(
-    x_proj: jax.Array,    # (L, B, 4H) precomputed input projection + biases
-    w_hh: jax.Array,      # (H, 4H)
+def _bilstm_scan(
+    x_proj: jax.Array,    # (L, 2, B, 4H) input projection + biases;
+                          # dir 0 = forward order, dir 1 = REVERSED order
+    w_hh: jax.Array,      # (2, H, 4H) per-direction recurrent weights
     lengths: jax.Array,   # (B,) int32 valid lengths
-    reverse: bool,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One direction. Returns (outputs (L, B, H), final hidden (B, H))."""
-    seq_len, batch, four_h = x_proj.shape
+    """Both directions in ONE scan. Returns (outputs (L, 2, B, H) with dir 1
+    still in reversed order, final hidden (2, B, H)).
+
+    Merging the directions halves the number of scan steps and doubles the
+    recurrent matmul's row count ((2B, H) worth of rows per step) — the scan
+    is dispatch-dominated at L <= 15, so fewer/fatter steps win. The scan is
+    also fully unrolled (captions are tiny), removing loop overhead
+    entirely.
+    """
+    seq_len, _, batch, four_h = x_proj.shape
     hidden = four_h // 4
 
-    time = jnp.arange(seq_len, dtype=jnp.int32)
-    if reverse:
-        time = time[::-1]
-        x_proj = x_proj[::-1]
+    fwd_t = jnp.arange(seq_len, dtype=jnp.int32)
+    bwd_t = jnp.arange(seq_len - 1, -1, -1, dtype=jnp.int32)
+    time = jnp.stack([fwd_t, bwd_t], axis=1)           # (L, 2)
 
     def step(carry, inp):
-        h, c = carry
-        t, xp = inp
-        gates = xp + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        h, c = carry                                   # (2, B, H) each
+        t, xp = inp                                    # (2,), (2, B, 4H)
+        gates = xp + jnp.einsum("dbh,dhf->dbf", h, w_hh,
+                                preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        valid = (t < lengths)[:, None]
+        valid = (t[:, None] < lengths[None, :])[..., None]   # (2, B, 1)
         h = jnp.where(valid, h_new, h)
         c = jnp.where(valid, c_new, c)
         y = jnp.where(valid, h_new, jnp.zeros_like(h_new))
         return (h, c), y
 
     init = (
-        jnp.zeros((batch, hidden), x_proj.dtype),
-        jnp.zeros((batch, hidden), x_proj.dtype),
+        jnp.zeros((2, batch, hidden), x_proj.dtype),
+        jnp.zeros((2, batch, hidden), x_proj.dtype),
     )
-    # unroll=2 halves the TPU scan's per-iteration overhead (measured on
-    # v5e: 2.3 ms -> 1.1 ms fwd+bwd for L=8, B=64) at negligible compile
-    # cost; captions are <= ~15 tokens so the scan is overhead-dominated.
-    (h_final, _), ys = jax.lax.scan(step, init, (time, x_proj), unroll=2)
-    if reverse:
-        ys = ys[::-1]
+    (h_final, _), ys = jax.lax.scan(step, init, (time, x_proj),
+                                    unroll=seq_len)
     return ys, h_final
 
 
@@ -106,20 +110,39 @@ class BiLSTMEncoder(nn.Module):
         bound = 1.0 / jnp.sqrt(jnp.asarray(h, jnp.float32))
         uinit = lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
-        outs, finals = [], []
-        for direction, reverse in (("fwd", False), ("bwd", True)):
-            w_ih = self.param(f"w_ih_{direction}", uinit, (self.emb_dim, 4 * h))
-            w_hh = self.param(f"w_hh_{direction}", uinit, (h, 4 * h))
-            b = self.param(f"b_{direction}", uinit, (4 * h,))
-            # Hoist the input projection out of the scan: one MXU matmul.
-            xp = (
-                jnp.einsum("ble,ef->blf", x, w_ih, preferred_element_type=jnp.float32)
-                + b
-            ).transpose(1, 0, 2)                           # (L, B, 4H)
-            ys, h_final = _lstm_scan(xp, w_hh, lengths.astype(jnp.int32), reverse)
-            outs.append(ys)
-            finals.append(h_final)
+        # Param creation order matches the pre-merge per-direction loop —
+        # flax derives param RNG streams from creation ORDER, so this keeps
+        # fresh inits (and the golden fingerprints) bit-identical.
+        params = {}
+        for direction in ("fwd", "bwd"):
+            params[f"w_ih_{direction}"] = self.param(
+                f"w_ih_{direction}", uinit, (self.emb_dim, 4 * h))
+            params[f"w_hh_{direction}"] = self.param(
+                f"w_hh_{direction}", uinit, (h, 4 * h))
+            params[f"b_{direction}"] = self.param(
+                f"b_{direction}", uinit, (4 * h,))
+        w_ih = jnp.stack([params["w_ih_fwd"], params["w_ih_bwd"]])  # (2,E,4H)
+        w_hh = jnp.stack([params["w_hh_fwd"], params["w_hh_bwd"]])  # (2,H,4H)
+        b = jnp.stack([params["b_fwd"], params["b_bwd"]])           # (2,4H)
 
-        word_embs = jnp.concatenate(outs, axis=-1).transpose(1, 0, 2)  # (B, L, 2H)
-        sent_embs = jnp.concatenate(finals, axis=-1)                   # (B, 2H)
+        # Hoist BOTH directions' input projections into one MXU matmul.
+        xp = (
+            jnp.einsum("ble,def->bldf", x, w_ih,
+                       preferred_element_type=jnp.float32)
+            + b[None, None]
+        ).transpose(1, 2, 0, 3)                            # (L, 2, B, 4H)
+        # Direction 1 consumes the sequence reversed. Reversal is a GATHER
+        # (take along the time axis), not jnp.flip: the rev HLO's fusion
+        # with this graph's backward crashes the TPU compiler
+        # (fusion_emitter "Check failed: window.pad_low[i] == 0 (-7 vs 0)"
+        # in ReverseInput::TransformWindow); gather lowers cleanly.
+        seq_len = xp.shape[0]
+        rev = jnp.arange(seq_len - 1, -1, -1)
+        xp = jnp.stack([xp[:, 0], jnp.take(xp[:, 1], rev, axis=0)], axis=1)
+        ys, h_final = _bilstm_scan(xp, w_hh, lengths.astype(jnp.int32))
+
+        word_embs = jnp.concatenate(
+            [ys[:, 0], jnp.take(ys[:, 1], rev, axis=0)],
+            axis=-1).transpose(1, 0, 2)                    # (B, L, 2H)
+        sent_embs = jnp.concatenate([h_final[0], h_final[1]], axis=-1)
         return word_embs, sent_embs

@@ -31,71 +31,88 @@ from attngan_tpu.losses.damsm import EPS
 from attngan_tpu.ops.attention import damsm_attention
 
 
-def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, out_ref, *,
-                       gamma1, gamma2):
+def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
+                       out_ref, *, gamma1, gamma2):
     """One grid cell = one image j vs ALL texts AT ONCE (kernel v2).
 
-    The (R, D) region block is loaded from HBM once; all B texts' words are
-    flattened to one (B*L, D) operand so both matmuls run at MXU-friendly
-    sizes — v1's per-text fori_loop serialized (R,D)x(D,L) matmuls with L=8
-    output columns, idling >90% of the array (BENCH.md r1: 5.9 ms vs XLA's
-    1.6 ms). Softmax #1 (over words per region) becomes a reduction over the
-    L-sized sublane groups of the (B, L, R) view; softmax #2 (over regions,
-    gamma1-sharpened) is a plain lane reduction.
+    The (R, D) region block is loaded from HBM once; all B texts' words
+    arrive pre-flattened as one (B*L, D) operand so both matmuls run at
+    MXU-friendly sizes — v1's per-text fori_loop serialized (R,D)x(D,L)
+    matmuls with L=8 output columns, idling >90% of the array (BENCH.md r1:
+    5.9 ms vs XLA's 1.6 ms).
+
+    Mosaic constraint: sublane<->lane shape casts like (B,L)->(B*L,1) are
+    unsupported, so the kernel contains NO reshapes. The word-group softmax
+    (softmax #1, over L words per region) is computed with a GLOBAL max
+    shift (softmax is shift-invariant per group, so one max over the whole
+    matrix is valid) and group sums via the (B, B*L) 0/1 selector matmul
+    gsel; softmax #2 over regions is a plain lane reduction.
     """
     ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
-    b, l, d = words_ref.shape
-    w = words_ref[...].astype(jnp.float32).reshape(b * l, d)
+    w = words_ref[...].astype(jnp.float32)         # (B*L, D) pre-flattened
+    gsel = gsel_ref[...]                           # (B, B*L) group selector
+    d = ctx.shape[-1]
     scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
     s = jax.lax.dot_general(                       # (B*L, R)
         w, ctx, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    s = s + bias_ref[...].reshape(b * l, 1)        # word-mask bias (-1e9 pads)
-    s3 = s.reshape(b, l, -1)
-    # softmax #1 over WORDS per region (attention.py:83): L-sublane groups
-    m1 = jnp.max(s3, axis=1, keepdims=True)
-    e1 = jnp.exp(s3 - m1)
-    a1 = e1 / jnp.sum(e1, axis=1, keepdims=True)   # (B, L, R)
+    s = s + bias_ref[...]                          # (B*L, 1) -1e9 word pads
+    # softmax #1 over WORDS per region (attention.py:83): shift by the
+    # global max, exponentiate, then per-text group sums via selector matmul
+    e1 = jnp.exp(s - jnp.max(s, axis=(0, 1), keepdims=True))
+    gsum = jnp.dot(gsel, e1, preferred_element_type=jnp.float32)  # (B, R)
+    denom = jax.lax.dot_general(                   # (B*L, R) scatter back
+        gsel, gsum, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    a1 = e1 / jnp.maximum(denom, EPS)
     # softmax #2 over REGIONS per word, gamma1-sharpened (attention.py:84-85)
     t = a1 * gamma1
-    m2 = jnp.max(t, axis=2, keepdims=True)
-    e2 = jnp.exp(t - m2)
-    a2 = (e2 / jnp.sum(e2, axis=2, keepdims=True)).reshape(b * l, -1)
+    e2 = jnp.exp(t - jnp.max(t, axis=-1, keepdims=True))
+    a2 = e2 / jnp.sum(e2, axis=-1, keepdims=True)
     weighted = jnp.dot(a2, ctx, preferred_element_type=jnp.float32)  # (BL, D)
     num = jnp.sum(w * weighted, axis=-1, keepdims=True)              # (BL, 1)
     norms = (jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
              * jnp.sqrt(jnp.sum(weighted * weighted, axis=-1,
                                 keepdims=True)))
     cos = num / jnp.maximum(norms, EPS)
-    # Eq. 10: log sum_l exp(gamma2*cos) over REAL words only
-    expg = jnp.exp(gamma2 * cos).reshape(b, l) * maskf_ref[...]
-    out_ref[0] = jnp.log(jnp.sum(expg, axis=1)).reshape(1, b)
+    # Eq. 10: log sum_l exp(gamma2*cos) over REAL words, grouped per text
+    expg = jnp.exp(gamma2 * cos) * maskf_ref[...]                    # (BL, 1)
+    agg = jnp.dot(gsel, expg, preferred_element_type=jnp.float32)    # (B, 1)
+    out_ref[0] = jnp.log(agg)
 
 
 def _similarity_grid(img_features, words, bias, maskt, gamma1, gamma2,
                      interpret):
     b, r, d = img_features.shape
     l = words.shape[1]
+    bl = b * l
+    words_flat = words.reshape(bl, d)
+    bias_flat = bias.reshape(bl, 1)
+    maskf_flat = maskt.reshape(bl, 1)
+    # 0/1 selector: gsel[i, k] = 1 iff flattened word row k belongs to text i
+    gsel = jnp.repeat(jnp.eye(b, dtype=jnp.float32), l, axis=1)
     out = pl.pallas_call(
         functools.partial(_image_cell_kernel, gamma1=gamma1, gamma2=gamma2),
         grid=(b,),                                  # one cell per image j
         in_specs=[
             pl.BlockSpec((1, r, d), lambda j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, l, d), lambda j: (0, 0, 0),
+            pl.BlockSpec((bl, d), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, l), lambda j: (0, 0),
+            pl.BlockSpec((bl, 1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, l), lambda j: (0, 0),
+            pl.BlockSpec((bl, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, bl), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, b), lambda j: (j, 0, 0),
+        out_specs=pl.BlockSpec((1, b, 1), lambda j: (j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, b, 1), jnp.float32),
         interpret=interpret,
-    )(img_features, words, bias, maskt)
-    return out[:, 0, :]                             # sims[j, i]
+    )(img_features, words_flat, bias_flat, maskf_flat, gsel)
+    return out[:, :, 0]                             # sims[j, i]
 
 
 def _jnp_similarity(img_features, words, word_mask, gamma1, gamma2):

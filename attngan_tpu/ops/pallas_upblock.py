@@ -16,9 +16,10 @@ matmul with a 4*C_in contraction axis (C_in=32 -> K=128: exactly the MXU
 width, where separate per-tap matmuls would idle 3/4 of the array), then
 eval-mode BN (folded to scale+bias) and GLU are applied in registers.
 
-Output layout trick: the kernel writes (H, 2, 2W, C_out) blocks —
-out[i, py, col, c] — so parity rows interleave via a FREE contiguous
-reshape to (2H, 2W, C_out) in the caller; no strided stores.
+Output layout: the kernel interleaves both parities in an fp32 VMEM
+scratch (strided sublane stores) and writes finished (2*RC, 2W, C_out)
+chunks of the STANDARD-layout (2H, 2W, C_out) output — downstream convs
+consume it with no relayout copy.
 
 Inference-only (train-mode BN needs batch stats over the un-GLU'd conv
 output; the train path keeps the XLA chain). Forward-only, used under
@@ -48,87 +49,116 @@ def _parity_kernels(kernel: jax.Array) -> jax.Array:
     k00, k01 = cols(w_r0)
     k10, k11 = cols(w_r1)
     ci, co = kernel.shape[2], kernel.shape[3]
-    # (2, 2, Ci, Co) -> (4*Ci, Co), row-major (a, b, c) matching the kernel's
-    # im2col concat order [(0,0), (0,1), (1,0), (1,1)]
-    return jnp.stack([k.reshape(4 * ci, co) for k in (k00, k01, k10, k11)])
+    # (2, 2, Ci, Co) -> (2, 2*Ci, Co) per parity, split by COLUMN tap b:
+    # [:, 0] contracts the un-shifted column slices (rows a=0 then a=1),
+    # [:, 1] the col+1-shifted ones. Two K=2Ci matmuls instead of one 4Ci —
+    # Mosaic only concatenates VMEM slices with EQUAL offsets on non-concat
+    # dims, and a column shift changes the slice's lane/sublane offset.
+    def split_cols(k):
+        return jnp.stack([
+            jnp.concatenate([k[0, 0], k[1, 0]], axis=0),   # (2Ci, Co)
+            jnp.concatenate([k[0, 1], k[1, 1]], axis=0),
+        ])
+    return jnp.stack([split_cols(k) for k in (k00, k01, k10, k11)])
 
 
-def _upblock_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, *,
-                    row_chunk):
-    """One grid cell = one image, row-chunked so the im2col/matmul
-    intermediates stay small (full-image im2col at 128^2 x 4*64ch would
-    blow the 16 MB VMEM). x (1, H, W, Ci); w (4, 4Ci, 2Co); scale/bias
-    (1, 2Co) folded eval BN; out (1, H, 2, 2W, Co)."""
-    h, w_dim, ci = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+def _upblock_kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, scratch_ref,
+                    *, row_chunk):
+    """One grid cell = one (image, row chunk): grid (B, H/RC).
+
+    Row chunking lives in the GRID, not a Python unroll — Mosaic gives every
+    unrolled iteration's intermediates their own VMEM stack slot, so an
+    in-kernel loop over 16 chunks blew the 16 MB scoped limit (41 MB at
+    gen3's 128^2 x 64ch). Per cell the body handles one chunk; the full
+    padded image block (index map ignores the chunk axis) stays resident
+    across the image's cells.
+
+    x (1, H+2, W+2, Ci) zero-padded in HBM by the caller (XLA fuses the pad
+    into the producer); w (4, 2, 2Ci, 2Co); scale/bias (1, 2Co) folded eval
+    BN; out (1, 2*RC, 2W, Co) — a STANDARD-LAYOUT slice of the final
+    (B, 2H, 2W, Co) tensor, so downstream convs consume it with no relayout
+    copy (an earlier (1, RC, 2, 2W, Co)+reshape variant won in isolation but
+    lost in the full sampler: XLA re-tiled the 256^2 output for the next
+    conv, and the copy ate the kernel's entire win). scratch (2*RC, 2W, Co)
+    fp32 — Mosaic supports strided stores only for 32-bit data, so both the
+    column interleave and the row (parity) interleave land in the fp32
+    scratch and one contiguous cast-store moves the finished chunk to the
+    (possibly bf16) output block."""
+    w_dim, ci = x_ref.shape[2] - 2, x_ref.shape[3]
     co = w_ref.shape[-1] // 2
-    x = x_ref[0]
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))   # zero pad, (H+2, W+2, Ci)
     scale = scale_ref[0]
     bias = bias_ref[0]
+    r0 = pl.program_id(1) * row_chunk   # chunk's first row in padded coords
 
-    # static Python unroll over row chunks (<= 4 at reference sizes):
-    # Mosaic has no dynamic_slice on VMEM-resident arrays, so all row
-    # offsets must be trace-time constants.
-    for ch in range(h // row_chunk):
-        r0 = ch * row_chunk
-
-        def parity(rows, py, px):
-            # im2col for output parity (py, px): 2x2 window at rows (i+a),
-            # cols (j+px+b), a,b in {0,1} of the padded row slice
-            # (layers.py:206-209), channel-concatenated -> 4*Ci contraction.
+    def parity(rows, py, px):
+        # im2col for output parity (py, px): 2x2 window at rows (i+a),
+        # cols (j+px+b), a,b in {0,1} of the padded row slice
+        # (layers.py:206-209). Channel-concat groups slices of EQUAL
+        # column shift (same VMEM offsets — Mosaic concat requirement),
+        # giving two (RC*W, 2Ci) x (2Ci, 2Co) matmuls.
+        def half(b_tap, w_half):
             cols_ = jnp.concatenate(
-                [rows[:-1, px: px + w_dim],
-                 rows[:-1, px + 1: px + 1 + w_dim],
-                 rows[1:, px: px + w_dim],
-                 rows[1:, px + 1: px + 1 + w_dim]],
-                axis=-1)                         # (RC, W, 4*Ci)
-            y = jax.lax.dot_general(
-                cols_.reshape(row_chunk * w_dim, 4 * ci), w_ref[2 * py + px],
+                [rows[:-1, px + b_tap: px + b_tap + w_dim],
+                 rows[1:, px + b_tap: px + b_tap + w_dim]],
+                axis=-1)                     # (RC, W, 2*Ci)
+            return jax.lax.dot_general(
+                cols_.reshape(row_chunk * w_dim, 2 * ci), w_half,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (RC*W, 2*Co)
-            y = y * scale + bias                 # folded eval-mode BN
-            a, b = y[:, :co], y[:, co:]
-            return (a * jax.nn.sigmoid(b)).astype(out_ref.dtype).reshape(
-                row_chunk, w_dim, co)
 
-        for py in (0, 1):
-            rows = xp[r0 + py: r0 + py + row_chunk + 1]   # (RC+1, W+2, Ci)
-            cols0 = parity(rows, py, 0)
-            cols1 = parity(rows, py, 1)
-            # column interleave: (RC, W, 2, Co) -> (RC, 2W, Co) row-major
-            row_out = jnp.stack([cols0, cols1], axis=2).reshape(
-                row_chunk, 2 * w_dim, co)
-            out_ref[0, r0: r0 + row_chunk, py] = row_out
+        w_par = w_ref[2 * py + px]
+        y = half(0, w_par[0]) + half(1, w_par[1])
+        y = y * scale + bias                 # folded eval-mode BN
+        a, b = y[:, :co], y[:, co:]
+        return (a * jax.nn.sigmoid(b)).reshape(row_chunk, w_dim, co)
+
+    for py in (0, 1):
+        # dynamic start on the UNTILED row dim (dims -2/-1 are the tiled
+        # pair) — the one dynamic-slice form Mosaic supports on VMEM refs
+        rows = x_ref[0, pl.ds(r0 + py, row_chunk + 1)]   # (RC+1, W+2, Ci)
+        # Row+column interleave via strided sublane stores into the fp32
+        # scratch (Mosaic rejects the (RC,W,2,Co)->(RC,2W,Co) shape-cast,
+        # and pltpu.repeat has tile — not element-repeat — semantics).
+        scratch_ref[py::2, 0::2, :] = parity(rows, py, 0)
+        scratch_ref[py::2, 1::2, :] = parity(rows, py, 1)
+    out_ref[0] = scratch_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _upblock_call(x, wp, scale, bias, interpret):
     b, h, w_dim, ci = x.shape
     co = wp.shape[-1] // 2
-    # chunk ~4096 input pixels per matmul; must divide H
-    row_chunk = max(1, min(h, 4096 // w_dim))
+    # chunk ~1024 input pixels per matmul: the resident padded-image block
+    # dominates VMEM (~9 MB double-buffered at 128^2 x 64ch bf16 — the
+    # Ci=64 lane dim pads to 128), leaving a few MB for the out blocks,
+    # fp32 scratch, and kernel stack; must divide H
+    row_chunk = max(1, min(h, 1024 // w_dim))
     while h % row_chunk:
         row_chunk -= 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_upblock_kernel, row_chunk=row_chunk),
-        grid=(b,),
+        grid=(b, h // row_chunk),
         in_specs=[
-            pl.BlockSpec((1, h, w_dim, ci), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h + 2, w_dim + 2, ci),
+                         lambda i, r: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4 * ci, 2 * co), lambda i: (0, 0, 0),
+            pl.BlockSpec((4, 2, 2 * ci, 2 * co), lambda i, r: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * co), lambda i: (0, 0),
+            pl.BlockSpec((1, 2 * co), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * co), lambda i: (0, 0),
+            pl.BlockSpec((1, 2 * co), lambda i, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, 2, 2 * w_dim, co),
-                               lambda i: (i, 0, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 2 * row_chunk, 2 * w_dim, co),
+                               lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, 2, 2 * w_dim, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * w_dim, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * row_chunk, 2 * w_dim, co), jnp.float32)],
         interpret=interpret,
-    )(x, wp, scale, bias)
-    return out.reshape(b, 2 * h, 2 * w_dim, co)    # contiguous, free
+    )(xp, wp, scale, bias)
+    return out                                 # already standard NHWC
 
 
 def upblock_pallas(

@@ -148,3 +148,38 @@ def test_resblock_is_residual(rng):
         x, train=True, mutable=["batch_stats"],
     )
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_upsample_conv_dilated_exact(rng):
+    """The input-dilated conv-transpose form == naive upsample+conv3x3,
+    including borders (zero padding) and odd sizes — this is the DEFAULT
+    UpBlock algorithm at >=64^2 spatial, and unlike the Pallas eval kernel
+    it must also differentiate."""
+    from attngan_tpu.ops.layers import upsample_conv3x3_dilated
+
+    x = rng.standard_normal((2, 7, 5, 6)).astype(np.float32)
+    kernel = rng.standard_normal((3, 3, 6, 10)).astype(np.float32) * 0.2
+    got = np.asarray(upsample_conv3x3_dilated(jnp.asarray(x),
+                                              jnp.asarray(kernel)))
+    up = np.asarray(L.upsample_nearest_2x(jnp.asarray(x)))
+    naive = jax.lax.conv_general_dilated(
+        jnp.asarray(up), jnp.asarray(kernel), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(got, np.asarray(naive), rtol=1e-4, atol=1e-4)
+
+    # gradient parity wrt both operands
+    def f_dil(xx, kk):
+        return jnp.sum(upsample_conv3x3_dilated(xx, kk) ** 2)
+
+    def f_naive(xx, kk):
+        u = L.upsample_nearest_2x(xx)
+        y = jax.lax.conv_general_dilated(
+            u, kk, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(f_dil, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(kernel))
+    g2 = jax.grad(f_naive, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(kernel))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
