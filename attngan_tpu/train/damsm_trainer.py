@@ -80,6 +80,11 @@ class DamsmTrainer:
                 "cache_region_features assumes a step-invariant trunk forward;"
                 " trunk_train_mode_bn makes features depend on batch "
                 "composition — pick one")
+        if cfg.trunk_int8 and cfg.trunk_train_mode_bn:
+            raise ValueError(
+                "trunk_int8 quantizes the eval-mode trunk; batch-stat BN "
+                "(trunk_train_mode_bn) is not supported under int8")
+        self._trunk_scales = None   # int8 activation scales, lazily calibrated
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         self.rnn = BiLSTMEncoder(vocab_size=vocab_size, emb_dim=cfg.text_emb_dim,
                                  hidden_dim=cfg.emb_dim, dropout=cfg.dropout)
@@ -88,7 +93,8 @@ class DamsmTrainer:
         # (pretrain_damsm.py:66-73); RNN grads clipped to 0.25 (:132).
         self.optimizer = optax.adam(cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1])
         self._step_fn = jax.jit(
-            functools.partial(_damsm_step, self), donate_argnums=(0,)
+            functools.partial(_damsm_step, self), donate_argnums=(1,),
+            static_argnums=(0,),   # int8 act-scales tuple (or None)
         )
         self._cached_step_fn = jax.jit(
             functools.partial(_damsm_step_cached, self), donate_argnums=(0,)
@@ -128,7 +134,34 @@ class DamsmTrainer:
         """One jitted optimization step. batch: tokens, lengths, class_ids,
         img256 (all device arrays, globally sharded)."""
         self.trunk_module()   # construct outside the jit trace (flax forbids
-        return self._step_fn(state, batch)  # module creation mid-trace)
+        scales = None         # module creation mid-trace)
+        if self.cfg.trunk_int8:
+            scales = self._calibrate_trunk_int8(state, batch["img256"])
+        return self._step_fn(scales, state, batch)
+
+    def _calibrate_trunk_int8(self, state: DamsmState, img256) -> tuple:
+        """One-time activation-scale calibration for the int8 frozen-trunk
+        path (cfg.trunk_int8): run ONE jitted eval forward under the
+        recording interceptor, read the per-site max|x| back, and bake the
+        scales into the step as trace-time constants."""
+        if self._trunk_scales is None:
+            from attngan_tpu.infer.quantize import calibrate
+
+            trunk = self.trunk_module()
+            variables = {"params": state.cnn_trunk_params["trunk"]}
+            if state.cnn_stats:
+                variables["batch_stats"] = state.cnn_stats["trunk"]
+
+            @jax.jit
+            def calib(v, x):
+                (_, pooled), records = calibrate(trunk.apply, v, x,
+                                                 train=False)
+                return pooled, records
+
+            _, records = calib(variables, img256)
+            self._trunk_scales = tuple(sorted(
+                (k, float(v)) for k, v in records.items()))
+        return self._trunk_scales
 
     def encode_text(self, state: DamsmState, tokens, lengths):
         return self.rnn.apply({"params": state.rnn_params}, tokens, lengths,
@@ -305,7 +338,7 @@ def _compute_damsm_loss(trainer, regions, cnn_code, word_embs, sent_embs,
     return total, parts
 
 
-def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
+def _damsm_step(trainer: DamsmTrainer, int8_scales, state: DamsmState,
                 batch: Dict[str, jax.Array]):
     key, k_drop = jax.random.split(state.key)
     labels = jnp.arange(batch["tokens"].shape[0])  # match labels (trainer.py:20-25)
@@ -332,6 +365,19 @@ def _damsm_step(trainer: DamsmTrainer, state: DamsmState,
         )
         new_stats = ({"trunk": mutated["batch_stats"]}
                      if state.cnn_stats else None)
+    elif int8_scales is not None:
+        # Opt-in int8 frozen-trunk forward (cfg.trunk_int8): every Conv in
+        # the trunk runs as s8 x s8 -> s32 on the MXU with calibrated
+        # static activation scales. The trunk is frozen so the
+        # approximation is a fixed, documented embedding perturbation —
+        # not compounding training noise.
+        from attngan_tpu.infer.quantize import quantized_call
+
+        trunk_regions, trunk_pooled = quantized_call(
+            dict(int8_scales), trunk.apply, trunk_vars, batch["img256"],
+            train=False,
+        )
+        new_stats = None
     else:
         trunk_regions, trunk_pooled = trunk.apply(
             trunk_vars, batch["img256"], train=False,

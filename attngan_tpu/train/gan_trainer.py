@@ -260,12 +260,24 @@ def _gan_step(trainer: GanTrainer, state: GanState,
                      else non_saturating_gen_loss(probs))
             parts[f"g_loss_{res}"] = g_adv
             total = total + g_adv
-        # DAMSM coupling on the final resolution (train.py:138-145).
+        # DAMSM coupling on the final resolution (train.py:138-145). The
+        # gradient DOES flow through the frozen CNN into the fakes
+        # (reference backprops through it), so it must stay inside the
+        # grad — but jax.checkpoint (remat) keeps its forward FUSED
+        # (no residual saving de-fuses the trunk's conv+BN+relu chains;
+        # the backward recomputes the cheap B=16 forward instead).
         if resolutions[-1] == 256:
-            regions, cnn_code = trainer.cnn.apply(
-                {"params": state.cnn_params, "batch_stats": state.cnn_stats},
-                fakes[-1], train=False,
-            )
+
+            def cnn_fwd(img):
+                return trainer.cnn.apply(
+                    {"params": state.cnn_params,
+                     "batch_stats": state.cnn_stats},
+                    img, train=False,
+                )
+
+            if cfg.remat_coupling:
+                cnn_fwd = jax.checkpoint(cnn_fwd)
+            regions, cnn_code = cnn_fwd(fakes[-1])
             dloss, dparts, _ = damsm_loss(
                 regions, cnn_code, word_embs, sent_embs, labels, mask,
                 batch["class_ids"], cfg.gamma1, cfg.gamma2, cfg.gamma3,

@@ -54,6 +54,11 @@ def parse_args():
                    help="precompute frozen-trunk region features once and "
                         "train against the cache (removes the Inception "
                         "forward from every step)")
+    p.add_argument("--trunk-int8", action="store_true",
+                   help="run the frozen image trunk in int8 (MXU s8 convs; "
+                        "activation scales calibrated on the first batch) — "
+                        "faster full-path pretraining with a fixed, "
+                        "documented embedding perturbation")
     p.add_argument("--checkpoint-dir", default=Config.CHECKPOINT_DIR)
     p.add_argument("--image-dir", default=Config.IMAGE_DIR)
     p.add_argument("--resume", action="store_true",
@@ -110,6 +115,7 @@ def main():
                       image_encoder=args.image_encoder,
                       compute_dtype=args.compute_dtype,
                       cache_region_features=args.cache_features,
+                      trunk_int8=args.trunk_int8,
                       trunk_train_mode_bn=args.trunk_train_mode_bn)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
                         image_dir=args.image_dir, profile=args.profile,

@@ -103,3 +103,57 @@ def test_int8_sampler_end_to_end_close_to_float(rng):
     # repeat call reuses the cached scales (no recalibration)
     again = qs.generate_from_tokens(tokens, lengths, key)
     np.testing.assert_array_equal(np.asarray(again), np.asarray(got))
+
+
+def test_damsm_trunk_int8_step(rng):
+    """cfg.trunk_int8: the DAMSM step calibrates once, runs the frozen
+    trunk quantized, and stays close to the float step's loss."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from attngan_tpu.core.config import DamsmConfig
+    from attngan_tpu.train.damsm_trainer import DamsmTrainer
+
+    B, L, VOCAB = 4, 5, 30
+    base = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=B,
+                       image_encoder="tiny", compute_dtype="")
+    batch = {
+        "tokens": jnp.asarray(rng.integers(0, VOCAB, (B, L)), jnp.int32),
+        "lengths": jnp.asarray([5, 3, 4, 2], jnp.int32),
+        "class_ids": jnp.asarray([0, 1, 2, 3], jnp.int32),
+        "img256": jnp.asarray(rng.standard_normal((B, 32, 32, 3)),
+                              jnp.float32) * 0.5,
+    }
+
+    losses = {}
+    for flag in (False, True):
+        cfg = dataclasses.replace(base, trunk_int8=flag)
+        tr = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=32)
+        st = tr.init_state(seed=0)
+        st, m = tr.train_step(st, dict(batch))
+        assert np.isfinite(float(m["loss"]))
+        losses[flag] = float(m["loss"])
+        if flag:
+            assert tr._trunk_scales and len(tr._trunk_scales) >= 2
+            # second step reuses the cached calibration
+            st, m2 = tr.train_step(st, dict(batch))
+            assert np.isfinite(float(m2["loss"]))
+    # int8 perturbs the trunk features but must stay in the same regime
+    assert abs(losses[True] - losses[False]) / abs(losses[False]) < 0.05
+
+
+def test_trunk_int8_rejects_train_mode_bn():
+    import dataclasses
+
+    import pytest
+
+    from attngan_tpu.core.config import DamsmConfig
+    from attngan_tpu.train.damsm_trainer import DamsmTrainer
+
+    cfg = dataclasses.replace(DamsmConfig(image_encoder="tiny"),
+                              trunk_int8=True, trunk_train_mode_bn=True)
+    with pytest.raises(ValueError):
+        DamsmTrainer(cfg, vocab_size=10, seq_len=4, image_res=32)
