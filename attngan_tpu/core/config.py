@@ -76,6 +76,15 @@ class GanConfig:
     #   Measured on v5e at B=16: LOSES (48.7 vs 45.4 ms/step) — the
     #   recompute costs more than the residual traffic it saves at this
     #   batch; kept as a knob for memory-constrained larger batches.
+    fused_attention: bool = False
+    # ^ Pallas generator word-attention kernel (ops/pallas_attention.py).
+    #   Measured LOSING at gf=32 (C=32 wastes 3/4 of the vector lanes);
+    #   for wide-channel variants.
+    fused_upsample: bool = False
+    # ^ Pallas eval-mode UpBlock kernel (ops/pallas_upblock.py). Wins
+    #   isolated at 128^2 but loses in the full sampler to XLA's fused
+    #   chain (BENCH.md round 2); the measured default is the dilated-conv
+    #   form, which needs no flag.
 
     @property
     def resolutions(self) -> Tuple[int, ...]:

@@ -79,7 +79,13 @@ def words_loss(
         # it wins at the reference batch (2.7 vs 3.6 ms @ B=64), ties at
         # 128 (9.1 vs 9.2) and loses at 256 (26.2 vs 22.7) — gate on batch.
         # Off-TPU the vmap form runs (the kernel would need interpret mode).
+        # Multi-device: pallas_call has no SPMD partitioning rule, so under
+        # a >1-device jitted step it would force replication/all-gather of
+        # the sharded operands — the vmap form partitions cleanly and stays
+        # the default there (the pretrain path additionally has the
+        # explicit-collective shard_map loss, losses/damsm_sharded.py).
         fused = (jax.default_backend() == "tpu"
+                 and jax.device_count() == 1
                  and img_features.shape[0] <= 128)
     if fused:
         from attngan_tpu.ops.pallas_damsm import words_loss_pallas

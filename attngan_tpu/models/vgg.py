@@ -62,8 +62,15 @@ class VGG19BNFeatures(nn.Module):
         plan = _torch_module_index_plan()
         kind_at = {idx: kind for idx, kind, _ in plan}
         # a BN tap is effectively collected AFTER the following inplace relu
-        collect_at = {(t + 1 if kind_at[t] == "bn" else t): t
-                      for t in self.taps}
+        collect_at = {}
+        for t in self.taps:
+            at = t + 1 if kind_at[t] == "bn" else t
+            if at in collect_at:
+                raise ValueError(
+                    f"taps {collect_at[at]} and {t} collide: a BN tap {t} is "
+                    f"collected at index {at} (post inplace-ReLU) — pick "
+                    "non-adjacent taps")
+            collect_at[at] = t
         outputs = {}
         for idx, kind, width in plan:
             if kind == "conv":

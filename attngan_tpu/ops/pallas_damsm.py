@@ -32,7 +32,7 @@ from attngan_tpu.ops.attention import damsm_attention
 
 
 def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
-                       out_ref, *, gamma1, gamma2):
+                       gstart_ref, out_ref, *, gamma1, gamma2, l_static):
     """One grid cell = one image j vs ALL texts AT ONCE (kernel v2).
 
     The (R, D) region block is loaded from HBM once; all B texts' words
@@ -42,25 +42,45 @@ def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
     5.9 ms vs XLA's 1.6 ms).
 
     Mosaic constraint: sublane<->lane shape casts like (B,L)->(B*L,1) are
-    unsupported, so the kernel contains NO reshapes. The word-group softmax
-    (softmax #1, over L words per region) is computed with a GLOBAL max
-    shift (softmax is shift-invariant per group, so one max over the whole
-    matrix is valid) and group sums via the (B, B*L) 0/1 selector matmul
-    gsel; softmax #2 over regions is a plain lane reduction.
+    unsupported, so the kernel contains NO reshapes — and neither strided
+    row slices (s[j::L]) nor lax.slice with stride L lower (gather /
+    extract_strided_slice stride limits). The word-group softmax (softmax
+    #1, over L words per region) shifts by the PER-GROUP max instead
+    computed with sublane ROTATIONS: max over j of roll(s, -j) leaves each
+    group's true max at its FIRST row (each text's words are contiguous
+    rows), the 0/1 start-row selector matmul gstart extracts those rows
+    exactly, and gsel scatters them back. (A global max shift underflows
+    entire low-scoring groups to zero when any pair's score exceeds theirs
+    by ~88 — softmax is only shift-invariant per group.) Softmax #2 over
+    regions is a plain lane reduction.
     """
     ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
     w = words_ref[...].astype(jnp.float32)         # (B*L, D) pre-flattened
     gsel = gsel_ref[...]                           # (B, B*L) group selector
+    gstart = gstart_ref[...]                       # (B, B*L) start-row sel
     d = ctx.shape[-1]
+    num_words = l_static
     scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
     s = jax.lax.dot_general(                       # (B*L, R)
         w, ctx, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
     s = s + bias_ref[...]                          # (B*L, 1) -1e9 word pads
-    # softmax #1 over WORDS per region (attention.py:83): shift by the
-    # global max, exponentiate, then per-text group sums via selector matmul
-    e1 = jnp.exp(s - jnp.max(s, axis=(0, 1), keepdims=True))
+    # softmax #1 over WORDS per region (attention.py:83): running max over
+    # the L rotations puts each group's max at its first row (groups are
+    # contiguous and aligned, so no wraparound reaches a start row)...
+    m = s
+    total_rows = s.shape[0]
+    for j in range(1, num_words):
+        # roll requires a non-negative shift; rolling UP by j == rolling
+        # down by (rows - j)
+        m = jnp.maximum(m, pltpu.roll(s, total_rows - j, 0))
+    gmax = jnp.dot(gstart, m, preferred_element_type=jnp.float32)  # (B, R)
+    # ...scattered back to every row through the 0/1 selector (exact)
+    shift = jax.lax.dot_general(                   # (B*L, R)
+        gsel, gmax, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    e1 = jnp.exp(s - shift)
     gsum = jnp.dot(gsel, e1, preferred_element_type=jnp.float32)  # (B, R)
     denom = jax.lax.dot_general(                   # (B*L, R) scatter back
         gsel, gsum, (((0,), (0,)), ((), ())),
@@ -92,8 +112,12 @@ def _similarity_grid(img_features, words, bias, maskt, gamma1, gamma2,
     maskf_flat = maskt.reshape(bl, 1)
     # 0/1 selector: gsel[i, k] = 1 iff flattened word row k belongs to text i
     gsel = jnp.repeat(jnp.eye(b, dtype=jnp.float32), l, axis=1)
+    # start-row selector: 1 only at each text's FIRST flattened word row
+    gstart = jnp.zeros((b, bl), jnp.float32).at[
+        jnp.arange(b), jnp.arange(b) * l].set(1.0)
     out = pl.pallas_call(
-        functools.partial(_image_cell_kernel, gamma1=gamma1, gamma2=gamma2),
+        functools.partial(_image_cell_kernel, gamma1=gamma1, gamma2=gamma2,
+                          l_static=l),
         grid=(b,),                                  # one cell per image j
         in_specs=[
             pl.BlockSpec((1, r, d), lambda j: (j, 0, 0),
@@ -106,12 +130,14 @@ def _similarity_grid(img_features, words, bias, maskt, gamma1, gamma2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, bl), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, bl), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, b, 1), lambda j: (j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, b, 1), jnp.float32),
         interpret=interpret,
-    )(img_features, words_flat, bias_flat, maskf_flat, gsel)
+    )(img_features, words_flat, bias_flat, maskf_flat, gsel, gstart)
     return out[:, :, 0]                             # sims[j, i]
 
 

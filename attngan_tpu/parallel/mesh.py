@@ -40,6 +40,9 @@ def make_mesh(devices: Optional[Sequence] = None,
         devices = jax.devices()
     if len(shape) <= 1:
         n = shape[0] if shape else len(devices)
+        if n > len(devices):
+            raise ValueError(f"mesh shape {shape} needs {n} devices, "
+                             f"have {len(devices)}")
         return Mesh(np.asarray(devices[:n]), axis_names=(DATA_AXIS,))
     if len(shape) == 2:
         n = shape[0] * shape[1]

@@ -76,6 +76,8 @@ class GanTrainer:
         self.generator = Generator(
             gf_dim=cfg.gf_dim, emb_dim=cfg.emb_dim, z_dim=cfg.z_dim,
             cond_dim=cfg.cond_dim, num_stages=cfg.num_stages, dtype=dtype,
+            fused_attention=cfg.fused_attention,
+            fused_upsample=cfg.fused_upsample,
         )
         self.discriminators = {
             res: Discriminator(df_dim=cfg.df_dim, resolution=res, dtype=dtype)

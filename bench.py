@@ -19,6 +19,9 @@ PER_CHIP_BASELINE = 250.0  # 2000 img/s on v5e-8 / 8 chips
 
 
 def main():
+    from attngan_tpu.core.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -79,6 +79,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from attngan_tpu.core.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from attngan_tpu.core.config import DamsmConfig, RunConfig
     from attngan_tpu.data.synthetic import make_synthetic_dataset
     from attngan_tpu.data.dataset import Dataset

@@ -45,6 +45,12 @@ def parse_args():
     p.add_argument("--seq-len", type=int, default=5)
     p.add_argument("--image-encoder", default="inception_v3")
     p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--fused-attention", action="store_true",
+                   help="Pallas generator word-attention kernel (measured "
+                        "slower at gf=32; for wide-channel variants)")
+    p.add_argument("--fused-upsample", action="store_true",
+                   help="Pallas eval UpBlock kernel (measured slower than "
+                        "the default dilated-conv form; see BENCH.md)")
     p.add_argument("--int8", action="store_true",
                    help="serve the generator via post-training int8 "
                         "quantization (infer/quantize.py); calibrates "
@@ -60,6 +66,9 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from attngan_tpu.core.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     if not args.benchmark and not args.image_names:
         raise SystemExit("pass --image-names (or --benchmark)")
     import jax
@@ -90,7 +99,9 @@ def main():
                     seq_len=flag("seq_len", args.seq_len),
                     num_stages=flag("num_stages", args.num_stages),
                     image_encoder=flag("image_encoder", args.image_encoder),
-                    compute_dtype=args.compute_dtype)
+                    compute_dtype=args.compute_dtype,
+                    fused_attention=args.fused_attention,
+                    fused_upsample=args.fused_upsample)
     trainer = GanTrainer(cfg, vocab_size=handler.vocab_size)
     state = trainer.init_state(seed=args.seed)
     ckpt = latest_checkpoint(args.checkpoint) or (
@@ -138,7 +149,9 @@ def main():
         start = time.perf_counter()
         for i in range(iters):
             imgs = gen_fn(tokens, lengths, jax.random.key(i))
-            acc = acc + jnp.ravel(imgs)[0].astype(jnp.float32)
+            # plain indexing (NOT ravel()[0]: that lowers to a full relayout
+            # copy of the (B,256,256,3) batch — see utils/timing.py)
+            acc = acc + imgs[(0,) * imgs.ndim].astype(jnp.float32)
         assert np.isfinite(float(acc))
         dt = time.perf_counter() - start
         rate = args.batch_size * iters / dt

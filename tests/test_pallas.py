@@ -88,3 +88,23 @@ def test_pallas_words_loss_grad_matches(rng):
     for a, b in zip(gp, gj):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_words_loss_pallas_extreme_magnitudes(rng):
+    """Per-GROUP max shift in softmax #1: with score groups separated by
+    >> 88 (exp underflow range), a global max shift would zero out entire
+    low-scoring texts' softmaxes; the kernel must still match the vmap
+    oracle."""
+    B, L, D, R = 4, 3, 16, 9
+    img = jnp.asarray(rng.standard_normal((B, R, D)), jnp.float32)
+    # text 0's words are huge (scores ~ +-1000), the rest tiny
+    words = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    words = words.at[0].mul(250.0)
+    labels = jnp.arange(B)
+    mask = jnp.ones((B, L), jnp.int32)
+    cls = jnp.arange(B)
+
+    ref, _ = words_loss(img, words, labels, mask, cls, fused=False)
+    got, _ = words_loss(img, words, labels, mask, cls, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

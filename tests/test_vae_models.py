@@ -71,3 +71,17 @@ def test_vgg19bn_tap_count_and_shapes(rng):
     # torchvision naming parity for the converter
     assert "features_0" in variables["params"]
     assert "features_14" in variables["params"]
+
+
+def test_vgg_colliding_taps_raise():
+    """A BN tap t collects at t+1 (post inplace-ReLU); requesting both t and
+    t+1 must fail loudly instead of silently dropping one."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from attngan_tpu.models.vgg import VGG19BNFeatures
+
+    net = VGG19BNFeatures(taps=(24, 25))
+    with pytest.raises(ValueError, match="collide"):
+        net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))

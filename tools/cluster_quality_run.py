@@ -86,10 +86,14 @@ def run(args):
     if args.latent_dims < x.shape[1]:
         x = _reduce_dimensionality(x, args.latent_dims, args.reducer)
 
+    # Cluster on the SAME reduced embedding the silhouette below is scored
+    # against (x is already at latent_dims, so the clusterer's internal
+    # reduction is a no-op) — stochastic reducers (spectral) would otherwise
+    # produce labels from a different embedding than the one being scored.
     clusterer.cluster(dataset, latent_dims=args.latent_dims,
                       max_vocab_size=args.max_vocab_size,
                       min_clusters=args.min_clusters, method=args.method,
-                      embeddings=embeddings, reducer=args.reducer)
+                      embeddings=x, reducer=args.reducer)
 
     k_values = determine_k_values(args.max_vocab_size, args.min_clusters)
     summary = {"n_images": len(dataset.records), "k_ladder": k_values,

@@ -75,6 +75,9 @@ def load_damsm_encoders(path: str, cfg, vocab_size: int, seq_len: int):
 
 def main():
     args = parse_args()
+    from attngan_tpu.core.runtime import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from attngan_tpu.core.config import GanConfig, RunConfig
     from attngan_tpu.data.dataset import Dataset
     from attngan_tpu.data.synthetic import make_synthetic_dataset
