@@ -102,6 +102,144 @@ def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
     out_ref[0] = jnp.log(agg)
 
 
+def _image_cell_bwd_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
+                           gstart_ref, gt_ref, dctx_ref, dwords_ref, *,
+                           gamma1, gamma2, l_static):
+    """Backward of one image cell: hand-derived VJP of the fwd chain.
+
+    Recomputes the forward intermediates in VMEM (they were never
+    materialized), then walks the chain backwards: Eq.10 logsumexp ->
+    cosine -> weighted-context matmul -> region softmax -> word-group
+    softmax -> score matmul. dctx (R, D) is this cell's own output block;
+    dwords (B*L, D) accumulates across the sequential grid (constant index
+    map keeps the block VMEM-resident; zeroed at cell 0). The incoming
+    cotangent arrives PRE-TRANSPOSED (gt[:, j] = g[j, :]) so the kernel
+    needs no sublane<->lane transpose.
+    """
+    j = pl.program_id(0)
+    ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
+    w = words_ref[...].astype(jnp.float32)         # (B*L, D)
+    gsel = gsel_ref[...]                           # (B, B*L)
+    gstart = gstart_ref[...]                       # (B, B*L)
+    gt = gt_ref[...]                               # (B, B): gt[:, j]=g[j, :]
+    # column j via a one-hot lane mask + reduction (dynamic lane slicing and
+    # sub-128 lane blocks are both unsupported)
+    lane = jax.lax.broadcasted_iota(jnp.int32, gt.shape, 1)
+    g_col = jnp.sum(jnp.where(lane == j, gt, 0.0), axis=1,
+                    keepdims=True)                 # (B, 1) = dL/d sims[j, :]
+    d = ctx.shape[-1]
+    num_words = l_static
+    scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
+
+    # ---- forward recompute (mirrors _image_cell_kernel) ----
+    s = jax.lax.dot_general(w, ctx, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[...]
+    m = s
+    total_rows = s.shape[0]
+    for jj in range(1, num_words):
+        m = jnp.maximum(m, pltpu.roll(s, total_rows - jj, 0))
+    gmax = jnp.dot(gstart, m, preferred_element_type=jnp.float32)
+    shift = jax.lax.dot_general(gsel, gmax, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    e1 = jnp.exp(s - shift)
+    gsum = jnp.dot(gsel, e1, preferred_element_type=jnp.float32)
+    denom = jax.lax.dot_general(gsel, gsum, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    a1 = e1 / jnp.maximum(denom, EPS)
+    t = a1 * gamma1
+    e2 = jnp.exp(t - jnp.max(t, axis=-1, keepdims=True))
+    a2 = e2 / jnp.sum(e2, axis=-1, keepdims=True)
+    v = jnp.dot(a2, ctx, preferred_element_type=jnp.float32)   # (BL, D)
+    num = jnp.sum(w * v, axis=-1, keepdims=True)               # (BL, 1)
+    wn = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
+    vn = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    norms = wn * vn
+    nc = jnp.maximum(norms, EPS)
+    cos = num / nc
+    expg = jnp.exp(gamma2 * cos) * maskf_ref[...]              # (BL, 1)
+    agg = jnp.dot(gsel, expg, preferred_element_type=jnp.float32)  # (B, 1)
+
+    # ---- backward ----
+    d_agg = g_col / agg                                        # (B, 1)
+    d_expg = jax.lax.dot_general(gsel, d_agg, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    d_cos = d_expg * gamma2 * expg                             # (BL, 1)
+    d_num = d_cos / nc
+    d_norms = jnp.where(norms > EPS, -d_cos * num / (nc * nc), 0.0)
+    d_wn = d_norms * vn
+    d_vn = d_norms * wn
+    d_w = d_num * v + d_wn * w / jnp.maximum(wn, EPS)          # (BL, D)
+    d_v = d_num * w + d_vn * v / jnp.maximum(vn, EPS)          # (BL, D)
+    # v = a2 @ ctx
+    d_a2 = jax.lax.dot_general(d_v, ctx, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (BL,R)
+    d_ctx = jax.lax.dot_general(a2, d_v, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (R,D)
+    # a2 = softmax over regions of t = gamma1 * a1
+    d_t = a2 * (d_a2 - jnp.sum(d_a2 * a2, axis=-1, keepdims=True))
+    d_a1 = d_t * gamma1
+    # a1 = softmax over each text's words (rows within a group, per region)
+    inner = jnp.dot(gsel, d_a1 * a1, preferred_element_type=jnp.float32)
+    d_s = a1 * (d_a1 - jax.lax.dot_general(
+        gsel, inner, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    # s = scale * (w @ ctx^T) + bias
+    d_w = d_w + scale * jnp.dot(d_s, ctx, preferred_element_type=jnp.float32)
+    d_ctx = d_ctx + scale * jax.lax.dot_general(
+        d_s, w, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dctx_ref[0] = d_ctx
+
+    @pl.when(j == 0)
+    def _zero():
+        dwords_ref[...] = jnp.zeros_like(dwords_ref)
+
+    dwords_ref[...] += d_w
+
+
+def _similarity_grid_bwd(img_features, words_flat, bias_flat, maskf_flat,
+                         gsel, gstart, g, gamma1, gamma2, interpret):
+    b, r, d = img_features.shape
+    bl = words_flat.shape[0]
+    l = bl // b
+    gt = g.T                                        # gt[:, j] = g[j, :]
+    d_img, d_words = pl.pallas_call(
+        functools.partial(_image_cell_bwd_kernel, gamma1=gamma1,
+                          gamma2=gamma2, l_static=l),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, r, d), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, d), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, bl), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, bl), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, b), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r, d), lambda j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bl, d), lambda j: (0, 0),   # accumulated
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, r, d), jnp.float32),
+            jax.ShapeDtypeStruct((bl, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(img_features, words_flat, bias_flat, maskf_flat, gsel, gstart, gt)
+    return d_img, d_words.reshape(b, l, d)
+
+
 def _similarity_grid(img_features, words, bias, maskt, gamma1, gamma2,
                      interpret):
     b, r, d = img_features.shape
@@ -179,12 +317,34 @@ def _damsm_similarity_fwd(img_features, words, word_mask, gamma1, gamma2,
 
 
 def _damsm_similarity_bwd(gamma1, gamma2, interpret, residuals, g):
+    """Hand-derived backward in a second Pallas kernel (same cell layout as
+    the forward; intermediates recomputed in VMEM). Replaces the earlier
+    recompute-through-the-XLA-vjp backward that made fwd+bwd only break
+    even with the vmap form. Beyond ~(B*L, R) x 10 fp32 intermediates of
+    VMEM (B>128 at reference dims) the kernel cannot hold its live set —
+    fall back to the XLA-vjp recompute there."""
+    from attngan_tpu.ops.attention import NEG_INF
+
     img_features, words, word_mask = residuals
-    _, vjp = jax.vjp(
-        lambda im, wd: _jnp_similarity(im, wd, word_mask, gamma1, gamma2),
-        img_features, words,
-    )
-    d_img, d_words = vjp(g)
+    b, r, d = img_features.shape
+    l = words.shape[1]
+    if b * l * r * 4 * 10 > 12 * 2**20:
+        _, vjp = jax.vjp(
+            lambda im, wd: _jnp_similarity(im, wd, word_mask, gamma1,
+                                           gamma2),
+            img_features, words,
+        )
+        d_img, d_words = vjp(g)
+        return d_img, d_words, None
+    bias_flat = jnp.where(word_mask == 0, NEG_INF,
+                          0.0).astype(jnp.float32).reshape(b * l, 1)
+    maskf_flat = word_mask.astype(jnp.float32).reshape(b * l, 1)
+    gsel = jnp.repeat(jnp.eye(b, dtype=jnp.float32), l, axis=1)
+    gstart = jnp.zeros((b, b * l), jnp.float32).at[
+        jnp.arange(b), jnp.arange(b) * l].set(1.0)
+    d_img, d_words = _similarity_grid_bwd(
+        img_features, words.reshape(b * l, d), bias_flat, maskf_flat, gsel,
+        gstart, g, float(gamma1), float(gamma2), interpret)
     return d_img, d_words, None
 
 

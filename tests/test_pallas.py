@@ -108,3 +108,14 @@ def test_words_loss_pallas_extreme_magnitudes(rng):
     got, _ = words_loss(img, words, labels, mask, cls, fused=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+    # the hand-derived backward kernel must track the oracle here too
+    gp = jax.grad(lambda i, w: words_loss(i, w, labels, mask, cls,
+                                          fused=True)[0], argnums=(0, 1))(
+        img, words)
+    gj = jax.grad(lambda i, w: words_loss(i, w, labels, mask, cls,
+                                          fused=False)[0], argnums=(0, 1))(
+        img, words)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
