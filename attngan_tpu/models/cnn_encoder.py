@@ -186,6 +186,12 @@ class InceptionV3Trunk(nn.Module):
     def __call__(self, x, train: bool = False):
         d = self.dtype
         b = x.shape[0]
+        if d is not None:
+            # cast BEFORE the in-trunk resize: the (B,299,299,3) bilinear
+            # intermediate is pure traffic and the first conv consumes the
+            # compute dtype anyway (fp32 mode — the oracle-parity config —
+            # is unaffected)
+            x = x.astype(d)
         if x.shape[1] != 299:
             x = jax.image.resize(x, (b, 299, 299, x.shape[-1]), "bilinear")
         x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3", dtype=d)(x, train)

@@ -36,7 +36,14 @@ def main():
     cfg = GanConfig(compute_dtype="bfloat16")
     trainer = GanTrainer(cfg, vocab_size=vocab)
     state = trainer.init_state(seed=0)
-    sampler = Sampler(trainer, state)
+    if os.environ.get("BENCH_INT8") == "1":
+        # post-training int8 tier (calibrates on the first batch); the
+        # default headline stays bf16 — int8 is an approximation
+        from attngan_tpu.infer.quantize import Int8Sampler
+
+        sampler = Int8Sampler(trainer, state)
+    else:
+        sampler = Sampler(trainer, state)
 
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, vocab, (batch, cfg.seq_len)), jnp.int32)
