@@ -157,3 +157,34 @@ def test_trunk_int8_rejects_train_mode_bn():
                               trunk_int8=True, trunk_train_mode_bn=True)
     with pytest.raises(ValueError):
         DamsmTrainer(cfg, vocab_size=10, seq_len=4, image_res=32)
+
+
+def test_gan_config_fused_flags_plumb_to_generator(rng):
+    """GanConfig.fused_attention / fused_upsample must reach the Generator
+    (they were test-only constructor args before) — sample a tiny 2-stage
+    cascade with both on; the 64^2 stage exercises the Pallas UpBlock eval
+    kernel (interpret mode on CPU) and the fused attention."""
+    import jax
+    import jax.numpy as jnp
+
+    from attngan_tpu.core.config import GanConfig
+    from attngan_tpu.infer.sampler import Sampler
+    from attngan_tpu.train.gan_trainer import GanTrainer
+
+    vocab = 30
+    cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                    seq_len=4, num_stages=2, compute_dtype="",
+                    image_encoder="tiny", fused_attention=True,
+                    fused_upsample=True)
+    trainer = GanTrainer(cfg, vocab_size=vocab)
+    assert trainer.generator.fused_attention
+    assert trainer.generator.fused_upsample
+    state = trainer.init_state(seed=0)
+    tokens = jnp.asarray(rng.integers(0, vocab, (2, 4)), jnp.int32)
+    lengths = jnp.full((2,), 4, jnp.int32)
+    imgs = Sampler(trainer, state).generate_from_tokens(
+        tokens, lengths, jax.random.key(0))
+    assert imgs.shape == (2, 128, 128, 3)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(imgs)).all()
