@@ -57,7 +57,12 @@ def _collecting_interceptor(records: Dict[str, jax.Array]):
         m = context.module
         if (_is_quantizable(m) and args
                 and jnp.issubdtype(jnp.asarray(args[0]).dtype, jnp.floating)):
-            records[_path_of(m)] = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+            # a module applied more than once per forward calibrates from
+            # the max over ALL its call sites, not just the last one
+            path = _path_of(m)
+            mx = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+            prev = records.get(path)
+            records[path] = mx if prev is None else jnp.maximum(prev, mx)
         return next_fun(*args, **kwargs)
 
     return interceptor

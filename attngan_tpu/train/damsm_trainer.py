@@ -195,10 +195,15 @@ class DamsmTrainer:
         return self._trunk
 
     def precompute_trunk_features(self, state: DamsmState, dataset,
-                                  batch_size: int = 0):
+                                  batch_size: int = 0, cache_dtype=None):
         """Run the frozen trunk over the whole dataset (record order).
-        Returns {'regions' (N, R, F) fp16, 'pooled' (N, F2) fp16}."""
+        Returns {'regions' (N, R, F), 'pooled' (N, F2)} in ``cache_dtype``
+        (default fp16: ~300 KB/image in host RAM; the rounding shifts the
+        cached-step loss by O(1e-3) relative — pass np.float32 for a
+        bit-exact cache at 2x the memory)."""
         import numpy as np
+
+        cache_dtype = cache_dtype or np.float16
 
         batch_size = batch_size or self.cfg.batch_size
         trunk = self.trunk_module()
@@ -224,9 +229,9 @@ class DamsmTrainer:
                                         jnp.asarray(flip))[256]
             regions, pooled = fwd(img256)
             keep = len(recs)
-            regions_out.append(np.asarray(regions, np.float16)[:keep]
+            regions_out.append(np.asarray(regions, cache_dtype)[:keep]
                                .reshape(keep, -1, regions.shape[-1]))
-            pooled_out.append(np.asarray(pooled, np.float16)[:keep])
+            pooled_out.append(np.asarray(pooled, cache_dtype)[:keep])
         return {"regions": np.concatenate(regions_out),
                 "pooled": np.concatenate(pooled_out)}
 

@@ -50,10 +50,12 @@ def profile_trace(logdir: str, enabled: bool = True):
 
 
 class StepWindowProfiler:
-    """Capture a jax.profiler trace of steps [start, stop) of a train loop
-    (RunConfig.profile wiring; view with tensorboard/xprof). Skips the first
-    steps so compilation isn't in the trace. Call ``tick()`` once per step
-    and ``close()`` when the loop ends early."""
+    """Capture a jax.profiler trace of the 0-indexed steps [start, stop) of
+    a train loop (RunConfig.profile wiring; view with tensorboard/xprof).
+    Skips the first steps so compilation isn't in the trace. Call ``tick()``
+    once after EACH COMPLETED step and ``close()`` when the loop ends early:
+    after ``start`` ticks, steps 0..start-1 are done, the trace starts, and
+    it stops at the ``stop``-th tick — covering steps start..stop-1."""
 
     def __init__(self, logdir: str, enabled: bool = True, start: int = 2,
                  stop: int = 8):
@@ -124,8 +126,14 @@ def device_timeit(fn: Callable, *args, iters: int = 20, warmup: int = 3,
     for _ in range(iters):
         out = fn(*args)
         acc = acc + fold(out).astype(jnp.float32)
-    assert np.isfinite(float(acc))         # single readback = end of work
-    return (time.perf_counter() - start) / iters
+    # The readback IS the fence that ends the timed region — it must run
+    # unconditionally (an assert would be stripped under ``python -O`` and
+    # the clock would stop after dispatch only).
+    acc_host = float(acc)                  # single readback = end of work
+    elapsed = time.perf_counter() - start
+    if not np.isfinite(acc_host):
+        raise RuntimeError(f"non-finite timing accumulator: {acc_host}")
+    return elapsed / iters
 
 
 class StepTimer:

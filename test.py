@@ -152,8 +152,12 @@ def main():
             # plain indexing (NOT ravel()[0]: that lowers to a full relayout
             # copy of the (B,256,256,3) batch — see utils/timing.py)
             acc = acc + imgs[(0,) * imgs.ndim].astype(jnp.float32)
-        assert np.isfinite(float(acc))
+        # unconditional readback: this fence ends the timed region and must
+        # survive ``python -O`` (an assert would be stripped)
+        acc_host = float(acc)
         dt = time.perf_counter() - start
+        if not np.isfinite(acc_host):
+            raise RuntimeError(f"non-finite benchmark accumulator: {acc_host}")
         rate = args.batch_size * iters / dt
         print(json.dumps({"metric": "gen_images_per_sec",
                           "value": round(rate, 2), "unit": "img/s",

@@ -97,6 +97,10 @@ def test_damsm_cached_step_matches_uncached(rng):
 
     cache = trainer.precompute_trunk_features(state_a, ds, batch_size=4)
     assert cache["regions"].shape[0] == 4
+    # fp32 cache computed up front: the jitted train steps below donate
+    # (consume) the state they are passed
+    cache32 = trainer.precompute_trunk_features(state_a, ds, batch_size=4,
+                                                cache_dtype=np.float32)
 
     host = next(ds.iter_batches(4, shuffle=False))
     dev = ds.device_batch(host)
@@ -109,9 +113,21 @@ def test_damsm_cached_step_matches_uncached(rng):
     }
     _, m_full = trainer.train_step(state_a, batch_full)
     _, m_cached = trainer.train_step_cached(state_b, batch_cached)
-    # fp16 cache storage costs a little precision
+    # default fp16 cache storage rounds features to ~2^-11 relative; the
+    # loss delta stays well inside 1e-2 relative (loose bound, not exact)
     np.testing.assert_allclose(float(m_full["loss"]),
-                               float(m_cached["loss"]), rtol=2e-2)
+                               float(m_cached["loss"]), rtol=1e-2)
+
+    # fp32 cache: BIT-EXACT features => losses agree to float roundoff
+    batch_cached32 = dict(batch_cached,
+                          trunk_regions=jnp.asarray(
+                              cache32["regions"][host["indices"]]),
+                          trunk_pooled=jnp.asarray(
+                              cache32["pooled"][host["indices"]]))
+    state_c = trainer.init_state(seed=0)
+    _, m_cached32 = trainer.train_step_cached(state_c, batch_cached32)
+    np.testing.assert_allclose(float(m_full["loss"]),
+                               float(m_cached32["loss"]), rtol=1e-5)
 
 
 def test_device_timeit_fences_and_times():

@@ -42,8 +42,12 @@ def test_upblock_kernel_matches_xla_chain(rng):
 
 def test_upblock_module_fused_inference_path(rng):
     """UpBlock(fused_inference=True) eval forward == the default eval
-    forward, with an IDENTICAL variable tree (checkpoint compatible)."""
-    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    forward, with an IDENTICAL variable tree (checkpoint compatible).
+
+    64x64 input: UpBlock only routes eval forwards through the Pallas
+    kernel at >=64^2 spatial (the measured win region), so a smaller input
+    would compare the default path to itself."""
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 8)), jnp.float32)
     ref = UpBlock(out_features=8)
     fused = UpBlock(out_features=8, fused_inference=True)
     variables = ref.init(jax.random.key(0), x, train=False)
