@@ -158,11 +158,11 @@ class Int8Sampler:
     """
 
     def __init__(self, trainer, state, skip: Iterable[str] = ()):
-        from attngan_tpu.infer.sampler import denormalize
+        from attngan_tpu.infer.sampler import as_infer_state, denormalize
         from attngan_tpu.data.dataset import word_mask
 
         self.trainer = trainer
-        self.state = state
+        self.state = as_infer_state(state)
         self.skip = tuple(skip)
         self.act_scales: Dict[str, float] | None = None
 
@@ -201,7 +201,10 @@ class Int8Sampler:
 
     def calibrate_on(self, tokens, lengths, key) -> Dict[str, float]:
         imgs, records = self._calib_fn(self.state, tokens, lengths, key)
-        jax.block_until_ready(imgs)
+        # real readback fence (block_until_ready returns early through
+        # remote-device tunnels; the float() reads below fence anyway,
+        # this just makes the ordering explicit)
+        float(imgs[(0,) * imgs.ndim])
         self.act_scales = {k: float(v) for k, v in records.items()}
         return self.act_scales
 

@@ -10,11 +10,12 @@ final 256x256 images. Here the whole device path (text encoder + generator
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from attngan_tpu.data.captions import CaptionHandler
 from attngan_tpu.data.dataset import word_mask
@@ -26,12 +27,35 @@ def denormalize(images: jax.Array) -> jax.Array:
     return jnp.clip(images * 0.5 + 0.5, 0.0, 1.0)
 
 
+class InferState(struct.PyTreeNode):
+    """The three state subtrees sampling actually touches — ~15% of the
+    full GanState (which also carries discriminators, the frozen Inception,
+    and four Adam moments). Serving restores ONLY this (checkpoint.py::
+    restore_inference_state): at reference scale the full training state is
+    1.1 GB on disk and orbax's leaf-by-leaf restore of it through a remote
+    device tunnel measured in MINUTES (ROADMAP #8), while this subtree is
+    one bulk host->device transfer."""
+
+    rnn_params: Any
+    gen_params: Any
+    gen_stats: Any
+
+
+def as_infer_state(state) -> InferState:
+    """Accept a full GanState (bench/tests) or an InferState (serving)."""
+    if isinstance(state, InferState):
+        return state
+    return InferState(rnn_params=state.rnn_params,
+                      gen_params=state.gen_params,
+                      gen_stats=state.gen_stats)
+
+
 class Sampler:
-    def __init__(self, trainer: GanTrainer, state: GanState,
+    def __init__(self, trainer: GanTrainer, state,
                  caption_handler: Optional[CaptionHandler] = None,
                  mesh=None):
         self.trainer = trainer
-        self.state = state
+        self.state = as_infer_state(state)
         self.caption_handler = caption_handler
         self.mesh = mesh  # data-parallel inference mesh (or None)
         self._sample_fn = jax.jit(
@@ -87,7 +111,7 @@ class Sampler:
         return self._stages_fn(self.state, tokens, lengths, key)
 
 
-def _sample(trainer: GanTrainer, state: GanState, tokens, lengths, key,
+def _sample(trainer: GanTrainer, state: InferState, tokens, lengths, key,
             return_all_stages: bool = False):
     cfg = trainer.cfg
     k_noise, k_reparam = jax.random.split(key)

@@ -37,22 +37,55 @@ def _head_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -0.1, 0.1)
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv kernel param with nn.Conv's exact tree layout
+    (``<name>/kernel``) and init — lets BasicConv2d's packed path share
+    checkpoints/converted torch weights with the nn.Conv path."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
 class BasicConv2d(nn.Module):
-    """conv(no bias) -> BN(eps=1e-3) -> relu (torchvision BasicConv2d)."""
+    """conv(no bias) -> BN(eps=1e-3) -> relu (torchvision BasicConv2d).
+
+    ``pack_w`` > 1 routes the conv through ops/packed_conv.py (g output
+    columns packed into the lane dim — the TPU layout fix for the stem's
+    lane-starved 32/64-channel convs); parameters and numerics are
+    identical (packed_conv is exact)."""
 
     features: int
     kernel: Tuple[int, int] = (3, 3)
     strides: int = 1
     padding: Tuple[Tuple[int, int], Tuple[int, int]] | int = 0
     dtype: jnp.dtype | None = None
+    pack_w: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
-        x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    padding=pad, use_bias=False, name="conv", dtype=self.dtype)(x)
+        if self.pack_w > 1:
+            from flax.linen import dtypes as nn_dtypes
+
+            from attngan_tpu.ops.packed_conv import packed_conv
+
+            kernel = _ConvKernel(self.kernel + (x.shape[-1], self.features),
+                                 name="conv")()
+            x, kernel = nn_dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            s = self.strides
+            x = packed_conv(x, kernel, g=self.pack_w,
+                            strides=(s, s) if isinstance(s, int) else tuple(s),
+                            padding=pad)
+        else:
+            x = nn.Conv(self.features, self.kernel, strides=self.strides,
+                        padding=pad, use_bias=False, name="conv",
+                        dtype=self.dtype)(x)
         x = TorchBatchNorm(use_running_average=not train,
                            momentum=BN_MOMENTUM, epsilon=INCEPTION_BN_EPS,
                            name="bn", dtype=self.dtype)(x)
@@ -181,10 +214,16 @@ class InceptionV3Trunk(nn.Module):
     """
 
     dtype: jnp.dtype | None = None
+    # Lane-pack the stem's 32/64-channel convs (ops/packed_conv.py): g
+    # output columns share the channel dim, turning the stem's 19-25%
+    # MXU-lane occupancy into full lanes at 4/3 the FLOPs. Exact (tested
+    # against the unpacked forms + torch oracles); default measured on-TPU.
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        g = 2 if self.packed_stem else 0
         b = x.shape[0]
         if d is not None:
             # cast BEFORE the in-trunk resize: the (B,299,299,3) bilinear
@@ -194,9 +233,12 @@ class InceptionV3Trunk(nn.Module):
             x = x.astype(d)
         if x.shape[1] != 299:
             x = jax.image.resize(x, (b, 299, 299, x.shape[-1]), "bilinear")
-        x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3", dtype=d)(x, train)
-        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", dtype=d)(x, train)
-        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3", dtype=d)(x, train)
+        x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3", dtype=d,
+                        pack_w=2 * g)(x, train)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", dtype=d,
+                        pack_w=g)(x, train)
+        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3", dtype=d,
+                        pack_w=g)(x, train)
         x = _max_pool3x3s2(x)
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1", dtype=d)(x, train)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3", dtype=d)(x, train)

@@ -57,6 +57,39 @@ def restore_checkpoint(path: str, target: Any) -> Any:
             ocp.utils.to_shape_dtype_struct, target))
 
 
+def restore_inference_state(path: str, abstract_state: Any):
+    """Restore ONLY the sampling subtrees of a GAN checkpoint, to host RAM.
+
+    ``abstract_state``: a (possibly abstract, e.g. jax.eval_shape'd)
+    GanState giving shapes/dtypes — no device arrays needed.
+
+    Serving (reference test.py:77-87) touches just rnn_params / gen_params
+    / gen_stats; the full training state at reference scale is 1.1 GB on
+    disk (4 Adam moment trees + the frozen Inception + discriminators) and
+    orbax's default restore places every leaf on the default device one by
+    one — minutes through a remote-device tunnel (ROADMAP #8). Restoring
+    the ~15% subtree as numpy and letting the caller device_put it once
+    turns that into a single bulk transfer. Returns an InferState of
+    np.ndarrays.
+    """
+    import numpy as np
+
+    from attngan_tpu.infer.sampler import InferState
+
+    sub = {"rnn_params": abstract_state.rnn_params,
+           "gen_params": abstract_state.gen_params,
+           "gen_stats": abstract_state.gen_stats}
+    restore_args = jax.tree_util.tree_map(
+        lambda a: ocp.type_handlers.RestoreArgs(restore_type=np.ndarray,
+                                                dtype=a.dtype), sub)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        out = ckptr.restore(path, args=ocp.args.PyTreeRestore(
+            item=sub, restore_args=restore_args, partial_restore=True))
+    return InferState(rnn_params=out["rnn_params"],
+                      gen_params=out["gen_params"],
+                      gen_stats=out["gen_stats"])
+
+
 def load_converted(path: str) -> dict:
     """Load a tools/convert_torch_weights.py msgpack variables dict."""
     with open(path, "rb") as f:

@@ -18,7 +18,11 @@ import numpy as np
 
 
 def block(tree: Any) -> Any:
-    """Block until every array in the pytree is ready (d2h sync point)."""
+    """Block until every array in the pytree is ready (d2h sync point).
+
+    CAVEAT: through remote-device tunnels this can return EARLY (even with
+    the compile still in flight) — for honest timing use device_timeit /
+    an explicit scalar readback, never this (BENCH.md "Methodology")."""
     return jax.block_until_ready(tree)
 
 

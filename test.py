@@ -78,7 +78,7 @@ def main():
     from attngan_tpu.core.config import GanConfig
     from attngan_tpu.data.captions import CaptionHandler
     from attngan_tpu.infer.sampler import Sampler
-    from attngan_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from attngan_tpu.train.checkpoint import latest_checkpoint
     from attngan_tpu.train.gan_trainer import GanTrainer
     from attngan_tpu.utils.imaging import save_image
 
@@ -103,14 +103,22 @@ def main():
                     fused_attention=args.fused_attention,
                     fused_upsample=args.fused_upsample)
     trainer = GanTrainer(cfg, vocab_size=handler.vocab_size)
-    state = trainer.init_state(seed=args.seed)
     ckpt = latest_checkpoint(args.checkpoint) or (
         args.checkpoint if os.path.exists(args.checkpoint) else None)
     if ckpt:
-        state = restore_checkpoint(ckpt, state)
-        print(f"restored {ckpt}")
+        # Serving restores ONLY the rnn/generator subtrees (~15% of the
+        # training state), to host numpy — the full-state orbax restore
+        # places 800+ leaves on the device one at a time, which measured
+        # in MINUTES through a remote-device tunnel (ROADMAP #8). The
+        # shape template comes from eval_shape: no device init either.
+        from attngan_tpu.train.checkpoint import restore_inference_state
+
+        abstract = jax.eval_shape(lambda: trainer.init_state(seed=args.seed))
+        state = restore_inference_state(ckpt, abstract)
+        print(f"restored {ckpt} (inference subtrees)")
     else:
         print("WARNING: no checkpoint found; using random weights")
+        state = trainer.init_state(seed=args.seed)
 
     # Data-parallel inference over the device mesh (the BASELINE north-star
     # "batched text->image inference ... data-parallel over v5e-8" config):
@@ -140,8 +148,14 @@ def main():
         lengths = jnp.full((args.batch_size,), cfg.seq_len, jnp.int32)
         tokens, lengths = shard_batch((tokens, lengths), mesh)
         imgs = gen_fn(tokens, lengths, jax.random.key(0))
-        jax.block_until_ready(imgs)  # compile + warmup (+ int8 calibration)
-        iters = 10
+        # compile + warmup (+ int8 calibration), fenced by a REAL readback:
+        # block_until_ready returns early through remote-device tunnels —
+        # even the (possibly remote, minutes-long) COMPILE can still be in
+        # flight when it returns, leaking compile time into the timed loop
+        # (the round-2 "3 img/s from a restored checkpoint" anomaly,
+        # ROADMAP #8: measured iter0 1219 s, iter1+ 0.11 s)
+        float(imgs[(0,) * imgs.ndim])
+        iters = 30
         # every iteration's output folds into an on-device scalar; ONE host
         # readback ends the clock (block_until_ready does not reliably fence
         # independent dispatches through remote-device tunnels)

@@ -79,3 +79,49 @@ def test_resume_continues_exactly(tmp_path, rng):
     np.testing.assert_allclose(float(metrics_a["loss"]),
                                float(metrics_b["loss"]), rtol=1e-5)
     assert int(state_b2.step) == int(state_a.step) == 4
+
+def test_restore_inference_state_partial_and_single_trace(tmp_path, rng):
+    """Serving-path regression (ROADMAP #8): restore_inference_state must
+    (a) restore ONLY the sampling subtrees, as HOST numpy (one bulk
+    device_put later — not 800 per-leaf device restores through the
+    tunnel), (b) produce images identical to a full-state restore, and
+    (c) the Sampler must compile its sample fn exactly ONCE across many
+    calls with the restored state."""
+    from attngan_tpu.core.config import GanConfig
+    from attngan_tpu.infer.sampler import InferState, Sampler
+    from attngan_tpu.train.checkpoint import restore_inference_state
+    from attngan_tpu.train.gan_trainer import GanTrainer
+
+    cfg = GanConfig(gf_dim=8, df_dim=8, emb_dim=32, seq_len=4, num_stages=2,
+                    image_encoder="tiny", compute_dtype="")
+    trainer = GanTrainer(cfg, vocab_size=VOCAB)
+    state = trainer.init_state(seed=0)
+    directory = str(tmp_path / "gan")
+    path = save_checkpoint(directory, jax.device_get(state), 0, cfg)
+
+    # (a) partial restore from an eval_shape template: no device arrays
+    abstract = jax.eval_shape(lambda: trainer.init_state(seed=0))
+    infer = restore_inference_state(path, abstract)
+    assert isinstance(infer, InferState)
+    for leaf in jax.tree_util.tree_leaves(infer):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+    for got, want in ((infer.rnn_params, state.rnn_params),
+                      (infer.gen_params, state.gen_params),
+                      (infer.gen_stats, state.gen_stats)):
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    # (b) identical images vs the full-state sampler
+    tokens = jnp.asarray(rng.integers(0, VOCAB, (2, cfg.seq_len)), jnp.int32)
+    lengths = jnp.full((2,), cfg.seq_len, jnp.int32)
+    s_full = Sampler(trainer, state)
+    s_part = Sampler(trainer, infer)
+    img_full = s_full.generate_from_tokens(tokens, lengths, jax.random.key(0))
+    img_part = s_part.generate_from_tokens(tokens, lengths, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(img_full), np.asarray(img_part))
+
+    # (c) one trace across repeated calls with the restored state
+    for i in range(4):
+        s_part.generate_from_tokens(tokens, lengths, jax.random.key(i))
+    assert s_part._sample_fn._cache_size() == 1

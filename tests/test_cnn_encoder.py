@@ -105,3 +105,27 @@ def test_weight_converter_key_mapping():
     assert out["params"]["layer2_0"]["downsample_conv"]["kernel"].shape == (1, 1, 64, 128)
     assert out["batch_stats"]["layer2_0"]["downsample_bn"]["var"].shape == (128,)
     assert out["params"]["fc_like"]["kernel"].shape == (512, 10)  # linear transposed
+
+
+def test_packed_stem_trunk_exact_and_checkpoint_compatible(rng):
+    """InceptionV3Trunk(packed_stem=True): identical param tree (checkpoint
+    / converted-weight compatible) and numerically matching forward — the
+    lane-packed stem is a pure layout change (ops/packed_conv.py)."""
+    import jax
+
+    from attngan_tpu.models.cnn_encoder import InceptionV3Trunk
+
+    plain = InceptionV3Trunk()
+    packed = InceptionV3Trunk(packed_stem=True)
+    x = jnp.asarray(rng.standard_normal((1, 299, 299, 3)), jnp.float32)
+    variables = plain.init(jax.random.key(0), x)
+    vp = packed.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(vp)
+
+    r0, p0 = plain.apply(variables, x)
+    r1, p1 = packed.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-4, atol=1e-4)
