@@ -186,6 +186,122 @@ def test_inception_trunk_matches_torch_end_to_end():
                                rtol=5e-4, atol=5e-4, err_msg="pooled code")
 
 
+# ------------------------------------------------------- gradient oracles
+#
+# The GAN phase backprops THROUGH the frozen trunk into the generator's
+# fake images (reference train.py:138-143), so the trunk's VJP — not just
+# its forward — must match torch autograd. These compare d(loss)/d(input)
+# for a fixed random cotangent: torch .backward() vs jax.grad, through the
+# converter round-trip, eval-mode BN.
+
+def _input_grad_check(torch_block, flax_module, in_ch, hw, seed,
+                      convert=None, batch=2, rtol=1e-3, atol=None):
+    randomize_(torch_block, seed=seed)
+    converted = (convert or convert_cnn_trunk_like)(torch_block.state_dict())
+    gen = torch.Generator().manual_seed(seed + 77)
+    x = torch.randn(batch, in_ch, hw, hw, generator=gen, requires_grad=True)
+    out = torch_block(x)
+    ct = torch.randn(out.shape, generator=gen)
+    (out * ct).sum().backward()
+    want = x.grad.permute(0, 2, 3, 1).numpy()
+
+    ct_j = jnp.asarray(ct.permute(0, 2, 3, 1).numpy())
+
+    def loss(xx):
+        y = flax_module.apply(_variables(converted), xx, train=False)
+        return jnp.sum(y * ct_j)
+
+    got = np.asarray(jax.grad(loss)(_to_nhwc(x.detach())))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=rtol,
+                               atol=atol if atol is not None else 1e-4 * scale,
+                               err_msg=f"d/dx {type(torch_block).__name__}")
+
+
+def test_basic_conv2d_input_grad_matches_torch():
+    from attngan_tpu.models.cnn_encoder import BasicConv2d
+
+    for seed, (kernel, stride, pad) in enumerate(
+            [((3, 3), 2, 0), ((3, 3), 1, 1), ((1, 7), 1, (0, 3))]):
+        tb = TBasicConv2d(8, 16, kernel_size=kernel, stride=stride,
+                          padding=pad)
+        fpad = (((pad[0], pad[0]), (pad[1], pad[1]))
+                if isinstance(pad, tuple) else pad)
+        fb = BasicConv2d(16, kernel, strides=stride, padding=fpad)
+        _input_grad_check(tb, fb, in_ch=8, hw=15, seed=40 + seed)
+
+
+def test_separable_maxpool_grad_matches_torch(rng):
+    """The two-pass 3x1/1x3 maxpool decomposition must route gradients like
+    torch's single 9-tap window (tie-free random input)."""
+    from attngan_tpu.models.cnn_encoder import _max_pool3x3s2
+
+    x = rng.standard_normal((2, 15, 15, 6)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2)).requires_grad_(True)
+    out = F.max_pool2d(xt, 3, stride=2)
+    gen = torch.Generator().manual_seed(7)
+    ct = torch.randn(out.shape, generator=gen)
+    (out * ct).sum().backward()
+    want = xt.grad.permute(0, 2, 3, 1).numpy()
+
+    ct_j = jnp.asarray(ct.permute(0, 2, 3, 1).numpy())
+    got = np.asarray(jax.grad(
+        lambda xx: jnp.sum(_max_pool3x3s2(xx) * ct_j))(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bilinear_resize_grad_matches_torch(rng):
+    """VJP of the in-forward 299 upsample (reference cnn_encoder.py:75)."""
+    x = rng.standard_normal((1, 3, 29, 31)).astype(np.float32)
+    xt = torch.from_numpy(x).requires_grad_(True)
+    out = F.interpolate(xt, size=(99, 99), mode="bilinear",
+                        align_corners=False)
+    gen = torch.Generator().manual_seed(8)
+    ct = torch.randn(out.shape, generator=gen)
+    (out * ct).sum().backward()
+    want = xt.grad.permute(0, 2, 3, 1).numpy()
+
+    ct_j = jnp.asarray(ct.permute(0, 2, 3, 1).numpy())
+    got = np.asarray(jax.grad(lambda xx: jnp.sum(jax.image.resize(
+        xx, (1, 99, 99, 3), "bilinear") * ct_j))(
+            jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_inception_trunk_input_grad_matches_torch_end_to_end():
+    """Full-trunk VJP at the fakes: cotangents on BOTH outputs (regions tap
+    + pooled code), d/dx through 16 stages, 2 maxpools and the bilinear
+    resize — the exact path the GAN generator gradient rides
+    (reference train.py:138-143 -> cnn_encoder.py:65-97)."""
+    from attngan_tpu.models.cnn_encoder import InceptionV3Trunk
+
+    tt = randomize_(TInceptionTrunk(), seed=12)
+    converted = convert_inception(dict(tt.state_dict()))
+    trunk = InceptionV3Trunk()
+
+    gen = torch.Generator().manual_seed(345)
+    x = (torch.rand(1, 3, 96, 96, generator=gen) * 2 - 1).requires_grad_(True)
+    regions, pooled = tt(x)
+    ct_r = torch.randn(regions.shape, generator=gen)
+    ct_p = torch.randn(pooled.shape, generator=gen)
+    ((regions * ct_r).sum() + (pooled * ct_p).sum()).backward()
+    want = x.grad.permute(0, 2, 3, 1).numpy()
+
+    ct_r_j = jnp.asarray(ct_r.permute(0, 2, 3, 1).numpy())
+    ct_p_j = jnp.asarray(ct_p.numpy())
+
+    def loss(xx):
+        r, p = trunk.apply(_variables(converted), xx, train=False)
+        return jnp.sum(r * ct_r_j) + jnp.sum(p * ct_p_j)
+
+    got = np.asarray(jax.jit(jax.grad(loss))(_to_nhwc(x.detach())))
+    # 16 stages of fp32 accumulation-order drift; tolerance relative to the
+    # gradient's own scale
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3 * scale)
+
+
 @pytest.mark.slow
 def test_resnet18_matches_torch_end_to_end():
     from flax import traverse_util
