@@ -24,6 +24,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from attngan_tpu.ops.layers import TorchBatchNorm
@@ -66,10 +67,24 @@ class BasicConv2d(nn.Module):
     pack_w: int = 0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, fold_only: bool = False):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+        if fold_only:
+            # Eval-mode folded weights for layout-lifted callers (the s2d
+            # stem): conv->BN->relu == relu(conv(x, w*k) + b) with (k, b)
+            # the BN affine constants. ``x`` is a channel-count hint only.
+            # Declares the identical param/stat tree as the normal path.
+            assert not train, "fold_only is eval-mode only"
+            kernel = _ConvKernel(self.kernel + (x.shape[-1], self.features),
+                                 name="conv")()
+            k, b = TorchBatchNorm(use_running_average=True,
+                                  momentum=BN_MOMENTUM,
+                                  epsilon=INCEPTION_BN_EPS, name="bn",
+                                  dtype=self.dtype)(
+                jnp.zeros((1, self.features)), fold_only=True)
+            return kernel * k, b
         if self.pack_w > 1:
             from flax.linen import dtypes as nn_dtypes
 
@@ -90,6 +105,37 @@ class BasicConv2d(nn.Module):
                            momentum=BN_MOMENTUM, epsilon=INCEPTION_BN_EPS,
                            name="bn", dtype=self.dtype)(x)
         return nn.relu(x)
+
+
+def _fused_siblings(x, branches, strides=1, padding=0):
+    """Run same-geometry sibling convs that read the SAME input as ONE conv.
+
+    The MXU emits 128 output columns per pass, so a conv with 48-192 output
+    channels wastes 25-62% of the lanes; sibling branches of an Inception
+    block (e.g. InceptionC's three input-side convs: 192 + c7 + c7 >= 448
+    columns) concatenated along Cout fill them. Column j of a matmul is
+    computed identically wherever it sits, so this is EXACT — conv ->
+    folded-BN -> relu per branch == relu(conv(x, [w1*k1 | w2*k2 | ...]) +
+    [b1 | b2 | ...]) sliced back. Eval-mode only (BN folded); param tree
+    identical to the per-branch path (fold_only declares the same params).
+
+    ``branches``: list of BasicConv2d modules (same kernel/strides/padding).
+    Returns the per-branch outputs as a tuple.
+    """
+    dt = x.dtype
+    hint = jnp.zeros((1, 1, 1, x.shape[-1]))
+    folded = [m(hint, fold_only=True) for m in branches]
+    wcat = jnp.concatenate([w for w, _ in folded], axis=-1).astype(dt)
+    bcat = jnp.concatenate([b for _, b in folded], axis=-1).astype(dt)
+    pad = padding
+    if isinstance(pad, int):
+        pad = ((pad, pad), (pad, pad))
+    y = jax.lax.conv_general_dilated(
+        x, wcat, window_strides=(strides, strides), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = nn.relu(y + bcat)
+    sizes = np.cumsum([m.features for m in branches])[:-1]
+    return tuple(jnp.split(y, sizes, axis=-1))
 
 
 def _max_pool3x3s2(x):
@@ -114,10 +160,14 @@ class InceptionA(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        b1 = BasicConv2d(64, (1, 1), name="branch1x1", dtype=d)(x, train)
-        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1", dtype=d)(x, train)
+        heads = [BasicConv2d(64, (1, 1), name="branch1x1", dtype=d),
+                 BasicConv2d(48, (1, 1), name="branch5x5_1", dtype=d),
+                 BasicConv2d(64, (1, 1), name="branch3x3dbl_1", dtype=d)]
+        if train:
+            b1, b5, b3 = (m(x, train) for m in heads)
+        else:
+            b1, b5, b3 = _fused_siblings(x, heads)
         b5 = BasicConv2d(64, (5, 5), padding=2, name="branch5x5_2", dtype=d)(b5, train)
-        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1", dtype=d)(x, train)
         b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_2", dtype=d)(b3, train)
         b3 = BasicConv2d(96, (3, 3), padding=1, name="branch3x3dbl_3", dtype=d)(b3, train)
         bp = _avg_pool3x3s1p1(x)
@@ -149,11 +199,15 @@ class InceptionC(nn.Module):
         c7 = self.channels_7x7
         p17 = ((0, 0), (3, 3))  # (1,7) kernel padding
         p71 = ((3, 3), (0, 0))  # (7,1) kernel padding
-        b1 = BasicConv2d(192, (1, 1), name="branch1x1", dtype=d)(x, train)
-        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1", dtype=d)(x, train)
+        heads = [BasicConv2d(192, (1, 1), name="branch1x1", dtype=d),
+                 BasicConv2d(c7, (1, 1), name="branch7x7_1", dtype=d),
+                 BasicConv2d(c7, (1, 1), name="branch7x7dbl_1", dtype=d)]
+        if train:
+            b1, b7, bd = (m(x, train) for m in heads)
+        else:
+            b1, b7, bd = _fused_siblings(x, heads)
         b7 = BasicConv2d(c7, (1, 7), padding=p17, name="branch7x7_2", dtype=d)(b7, train)
         b7 = BasicConv2d(192, (7, 1), padding=p71, name="branch7x7_3", dtype=d)(b7, train)
-        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1", dtype=d)(x, train)
         bd = BasicConv2d(c7, (7, 1), padding=p71, name="branch7x7dbl_2", dtype=d)(bd, train)
         bd = BasicConv2d(c7, (1, 7), padding=p17, name="branch7x7dbl_3", dtype=d)(bd, train)
         bd = BasicConv2d(c7, (7, 1), padding=p71, name="branch7x7dbl_4", dtype=d)(bd, train)
@@ -169,9 +223,13 @@ class InceptionD(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1", dtype=d)(x, train)
+        heads = [BasicConv2d(192, (1, 1), name="branch3x3_1", dtype=d),
+                 BasicConv2d(192, (1, 1), name="branch7x7x3_1", dtype=d)]
+        if train:
+            b3, b7 = (m(x, train) for m in heads)
+        else:
+            b3, b7 = _fused_siblings(x, heads)
         b3 = BasicConv2d(320, (3, 3), strides=2, name="branch3x3_2", dtype=d)(b3, train)
-        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1", dtype=d)(x, train)
         b7 = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)),
                          name="branch7x7x3_2", dtype=d)(b7, train)
         b7 = BasicConv2d(192, (7, 1), padding=((3, 3), (0, 0)),
@@ -189,13 +247,17 @@ class InceptionE(nn.Module):
         d = self.dtype
         p13 = ((0, 0), (1, 1))
         p31 = ((1, 1), (0, 0))
-        b1 = BasicConv2d(320, (1, 1), name="branch1x1", dtype=d)(x, train)
-        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1", dtype=d)(x, train)
+        heads = [BasicConv2d(320, (1, 1), name="branch1x1", dtype=d),
+                 BasicConv2d(384, (1, 1), name="branch3x3_1", dtype=d),
+                 BasicConv2d(448, (1, 1), name="branch3x3dbl_1", dtype=d)]
+        if train:
+            b1, b3, bd = (m(x, train) for m in heads)
+        else:
+            b1, b3, bd = _fused_siblings(x, heads)
         b3 = jnp.concatenate([
             BasicConv2d(384, (1, 3), padding=p13, name="branch3x3_2a", dtype=d)(b3, train),
             BasicConv2d(384, (3, 1), padding=p31, name="branch3x3_2b", dtype=d)(b3, train),
         ], axis=-1)
-        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1", dtype=d)(x, train)
         bd = BasicConv2d(384, (3, 3), padding=1, name="branch3x3dbl_2", dtype=d)(bd, train)
         bd = jnp.concatenate([
             BasicConv2d(384, (1, 3), padding=p13, name="branch3x3dbl_3a", dtype=d)(bd, train),
@@ -219,6 +281,65 @@ class InceptionV3Trunk(nn.Module):
     # MXU-lane occupancy into full lanes at 4/3 the FLOPs. Exact (tested
     # against the unpacked forms + torch oracles); default measured on-TPU.
     packed_stem: bool = False
+    # Space-to-depth stem (ops/s2d_conv.py, ROADMAP #1): run 1a/2a/2b in
+    # r=2 block layout (conv1a consumes the image at r=4), K>=512 / N>=128
+    # full-lane contractions at 16/9 FLOPs, maxpool fused back to pixels.
+    # Eval-mode only (BN is folded into the lifted kernels); train-mode BN
+    # falls back to the standard path. Numerically the same contraction —
+    # see tests/test_s2d_conv.py + test_cnn_encoder.py.
+    s2d_stem: bool = False
+
+    def _stem_s2d(self, x, d):
+        """Space-to-depth stem, transpose-free: every relayout is expressed
+        AS a convolution so it stays on the MXU fast path (explicit
+        reshape/transpose s2d measured 16.6 ms at B=64 — pathological).
+
+        conv1a composes the s2d with the conv itself: its r=2-blocked output
+        y[(do_h*2+do_w)*32+co] at block (I,J) is an ordinary 5x5/stride-4
+        conv on the (right-pad-to-304) image — lift_kernel with input block
+        factor p=1 (e = 2*do + u in [0,5)). conv2a/2b then run blocked
+        (K=512, N=128/256 — full MXU lanes, 16/9 FLOPs), and depth-to-space
+        back to pixels is a stride-2 identity conv_transpose fused before
+        the separable maxpool. Numerics: the identical contraction, with BN
+        folded into the lifted kernels (tests/test_cnn_encoder.py)."""
+        from attngan_tpu.ops.s2d_conv import d2s_conv, lift_kernel, mask_valid
+
+        dt = d or jnp.float32
+        w1, b1 = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3",
+                             dtype=d)(jnp.zeros((1, 1, 1, 3)), fold_only=True)
+        w2, b2 = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", dtype=d)(
+            jnp.zeros((1, 1, 1, 32)), fold_only=True)
+        w3, b3 = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3",
+                             dtype=d)(jnp.zeros((1, 1, 1, 32)), fold_only=True)
+
+        # conv1a + s2d in one op: 5x5/s4 on 299px right-padded to 304
+        l1 = lift_kernel(w1, 1, 2, (2, 2), (0, 0), (0, 0), (0, 0),
+                         (0, 0)).astype(dt)          # (5, 5, 3, 128)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), l1, window_strides=(4, 4),
+            padding=((0, 5), (0, 5)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (75, 75, 128)
+        y = nn.relu(y + jnp.tile(b1, 4).astype(dt))
+        # conv2a: blocked VALID 3x3 -> 2x2 kernel, offsets chain 0 -> 0;
+        # conv2b (SAME) reads pixel 147 = the zero pad, so the epilogue
+        # zeroes the garbage slot (fused with bias+relu).
+        l2 = lift_kernel(w2, 2, 2, (1, 1), (0, 0), (0, 0), (0, 0),
+                         (0, 0)).astype(dt)          # (2, 2, 128, 128)
+        y = jax.lax.conv_general_dilated(
+            y, l2, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (74, 74, 128)
+        y = mask_valid(nn.relu(y + jnp.tile(b2, 4).astype(dt)),
+                       2, 32, (147, 147), (0, 0))
+        l3 = lift_kernel(w3, 2, 2, (1, 1), (1, 1), (0, 0), (1, 1),
+                         (1, 1)).astype(dt)          # (2, 2, 128, 256)
+        y = jax.lax.conv_general_dilated(
+            y, l3, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (74, 74, 256)
+        y = nn.relu(y + jnp.tile(b3, 4).astype(dt))
+        # back to pixels via identity conv_transpose, crop origin offset 1,
+        # then the separable maxpool
+        y = d2s_conv(y, 2, 64)[:, 1:148, 1:148]     # (147, 147, 64)
+        return _max_pool3x3s2(y)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -233,13 +354,16 @@ class InceptionV3Trunk(nn.Module):
             x = x.astype(d)
         if x.shape[1] != 299:
             x = jax.image.resize(x, (b, 299, 299, x.shape[-1]), "bilinear")
-        x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3", dtype=d,
-                        pack_w=2 * g)(x, train)
-        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", dtype=d,
-                        pack_w=g)(x, train)
-        x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3", dtype=d,
-                        pack_w=g)(x, train)
-        x = _max_pool3x3s2(x)
+        if self.s2d_stem and not train:
+            x = self._stem_s2d(x, d)
+        else:
+            x = BasicConv2d(32, (3, 3), strides=2, name="Conv2d_1a_3x3",
+                            dtype=d, pack_w=2 * g)(x, train)
+            x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3", dtype=d,
+                            pack_w=g)(x, train)
+            x = BasicConv2d(64, (3, 3), padding=1, name="Conv2d_2b_3x3",
+                            dtype=d, pack_w=g)(x, train)
+            x = _max_pool3x3s2(x)
         x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1", dtype=d)(x, train)
         x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3", dtype=d)(x, train)
         x = _max_pool3x3s2(x)

@@ -129,3 +129,43 @@ def test_packed_stem_trunk_exact_and_checkpoint_compatible(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_stem_trunk_exact_and_checkpoint_compatible(rng):
+    """InceptionV3Trunk(s2d_stem=True): identical param tree and numerically
+    matching forward AND input-gradient — the space-to-depth stem
+    (ops/s2d_conv.py) is the same contraction in a denser layout, with BN
+    folded into the lifted kernels (eval mode)."""
+    import jax
+
+    from attngan_tpu.models.cnn_encoder import InceptionV3Trunk
+
+    plain = InceptionV3Trunk()
+    s2d = InceptionV3Trunk(s2d_stem=True)
+    x = jnp.asarray(rng.standard_normal((1, 299, 299, 3)), jnp.float32)
+    variables = plain.init(jax.random.key(0), x)
+    vs = s2d.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(vs)
+
+    r0, p0 = plain.apply(variables, x)
+    r1, p1 = s2d.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=1e-4, atol=1e-4)
+
+    # GAN phase differentiates through the trunk into the fakes: d/dx parity
+    ct_r = jnp.asarray(rng.standard_normal(r0.shape), jnp.float32)
+    ct_p = jnp.asarray(rng.standard_normal(p0.shape), jnp.float32)
+
+    def scalar(mod):
+        def f(xx):
+            r, p = mod.apply(variables, xx)
+            return jnp.vdot(r, ct_r) + jnp.vdot(p, ct_p)
+        return f
+
+    g0 = jax.grad(scalar(plain))(x)
+    g1 = jax.grad(scalar(s2d))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=5e-3, atol=2e-4)
