@@ -85,6 +85,13 @@ class GanConfig:
     #   isolated at 128^2 but loses in the full sampler to XLA's fused
     #   chain (BENCH.md round 2); the measured default is the dilated-conv
     #   form, which needs no flag.
+    reuse_gen_forward: bool = True
+    # ^ Run the generator forward ONCE per step via jax.vjp and reuse its
+    #   fakes for both the D-steps and the G-grad pullback — the
+    #   reference's retained-autograd-graph semantics (train.py:119-145
+    #   reuses one fake tensor for D [detached] and G). False recomputes
+    #   the forward inside the G-step's value_and_grad (round-1/2
+    #   structure, kept for A/B + parity tests).
 
     @property
     def resolutions(self) -> Tuple[int, ...]:

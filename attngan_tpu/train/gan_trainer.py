@@ -216,10 +216,29 @@ def _gan_step(trainer: GanTrainer, state: GanState,
         )
         return fakes, mu, logvar, mut["batch_stats"]
 
-    # 2. Fakes for the D-steps: constants w.r.t. both nets (train.py:120).
-    fakes0, _, _, _ = run_generator(state.gen_params, state.gen_stats)
-    fakes0 = {res: jax.lax.stop_gradient(img)
-              for res, img in zip(resolutions, fakes0)}
+    # 2. ONE generator forward (train.py:119-120): the reference builds the
+    # fake cascade once and reuses the tensors for every D-step (detached)
+    # AND the G-step (retained graph). jax.vjp stores the pullback so the
+    # G-grads flow through THIS forward — no recompute. (The recompute form
+    # below relies on XLA CSE to dedupe two identical forwards inside one
+    # jit region, which it does not reliably do across a value_and_grad
+    # boundary — measured A/B in BENCH.md round 3.)
+    if cfg.reuse_gen_forward:
+
+        def gen_fwd(gen_params):
+            fakes, mu, logvar, gen_stats = run_generator(
+                gen_params, state.gen_stats)
+            return (tuple(fakes), mu, logvar), gen_stats
+
+        ((fakes1, mu1, logvar1), gen_vjp, gen_stats1) = jax.vjp(
+            gen_fwd, state.gen_params, has_aux=True)
+        fakes0 = {res: jax.lax.stop_gradient(img)
+                  for res, img in zip(resolutions, fakes1)}
+    else:
+        # Fakes for the D-steps: constants w.r.t. both nets (train.py:120).
+        fakes0, _, _, _ = run_generator(state.gen_params, state.gen_stats)
+        fakes0 = {res: jax.lax.stop_gradient(img)
+                  for res, img in zip(resolutions, fakes0)}
 
     # 3. D-steps (train.py:123-130), one Adam per discriminator.
     new_disc_params, new_disc_stats, new_disc_opts = {}, {}, {}
@@ -244,8 +263,8 @@ def _gan_step(trainer: GanTrainer, state: GanState,
         metrics[f"d_loss_{res}"] = d_loss
 
     # 4. G-step against the UPDATED discriminators (train.py:132-151).
-    def g_loss_fn(gen_params):
-        fakes, mu, logvar, gen_stats = run_generator(gen_params, state.gen_stats)
+    def downstream_loss(fakes, mu, logvar):
+        """Everything after the generator forward: adv + DAMSM + KL."""
         total = 0.0
         parts = {}
         disc_stats_after = {}
@@ -290,11 +309,27 @@ def _gan_step(trainer: GanTrainer, state: GanState,
         kl = kl_loss(mu, logvar)
         parts["kl_loss"] = kl
         total = total + kl
-        return total, (parts, gen_stats, disc_stats_after)
+        return total, (parts, disc_stats_after)
 
-    (g_total, (g_parts, gen_stats, disc_stats_after)), g_grads = (
-        jax.value_and_grad(g_loss_fn, has_aux=True)(state.gen_params)
-    )
+    if cfg.reuse_gen_forward:
+        (g_total, (g_parts, disc_stats_after)), down_grads = (
+            jax.value_and_grad(downstream_loss, argnums=(0, 1, 2),
+                               has_aux=True)(fakes1, mu1, logvar1)
+        )
+        g_grads, = gen_vjp(down_grads)
+        gen_stats = gen_stats1
+    else:
+
+        def g_loss_fn(gen_params):
+            fakes, mu, logvar, gen_stats = run_generator(
+                gen_params, state.gen_stats)
+            total, (parts, disc_stats_after) = downstream_loss(
+                tuple(fakes), mu, logvar)
+            return total, (parts, gen_stats, disc_stats_after)
+
+        (g_total, (g_parts, gen_stats, disc_stats_after)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.gen_params)
+        )
     updates, gen_opt_state = trainer.gen_opt.update(
         g_grads, state.gen_opt_state, state.gen_params)
     gen_params = optax.apply_updates(state.gen_params, updates)

@@ -114,6 +114,34 @@ def test_gan_step_full_3stage_with_damsm(rng):
         assert np.isfinite(float(val)), f"{key} not finite"
 
 
+def test_gan_step_reuse_gen_forward_parity(rng):
+    """reuse_gen_forward=True (one jax.vjp'd generator forward, the
+    reference's retained-graph semantics, train.py:119-145) must produce
+    the same step as the recompute form: same noise + params + PRNG key
+    means identical fakes, so every metric and updated parameter agrees to
+    fp32 tolerance."""
+    kw = dict(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+              seq_len=L, batch_size=B, num_stages=3,
+              image_encoder="tiny", compute_dtype="")
+    batch = _gan_batch(rng, GanConfig(**kw).resolutions)
+    states, metrics = [], []
+    for reuse in (True, False):
+        trainer = GanTrainer(GanConfig(reuse_gen_forward=reuse, **kw),
+                             vocab_size=VOCAB)
+        state = trainer.init_state(seed=0)
+        state, m = trainer.train_step(state, batch)
+        states.append(state)
+        metrics.append(m)
+    for key in metrics[0]:
+        np.testing.assert_allclose(
+            float(metrics[0][key]), float(metrics[1][key]),
+            rtol=1e-5, atol=1e-6, err_msg=key)
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].gen_params),
+                    jax.tree_util.tree_leaves(states[1].gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_gan_step_bf16_compute(rng):
     """bf16 compute dtype end to end (the TPU default) — catches dtype
     promotion bugs that fp32-only tests miss (e.g. fp32 accumulator outputs
