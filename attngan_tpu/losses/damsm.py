@@ -70,29 +70,31 @@ def words_loss(
     """Returns (scalar loss, diagonal attention maps (B, L, R))."""
     if fused is None:
         # Honest on-device A/B (v5e, R=289, D=256, L=8; device_timeit
-        # readback-chain timing — full table in BENCH.md): the v2 Pallas
-        # kernel (ops/pallas_damsm.py, one grid cell per image vs ALL
-        # texts) wins the forward at every batch (1.74 vs 9.90 ms @ B=64)
+        # readback-chain timing — full table in BENCH.md): the Pallas
+        # kernel (ops/pallas_damsm.py, one grid cell per (image, text
+        # tile)) wins the forward at every batch (1.74 vs 9.90 ms @ B=64)
         # by loading each (R, D) region block from HBM once instead of
         # materializing the O(B^2 L R) pairwise intermediates. Fwd+bwd
-        # uses the HAND-DERIVED backward kernel (pallas_damsm.py, second
-        # kernel: recomputes the chain's intermediates in VMEM and walks
-        # it backwards): 5.67 vs 6.64 ms XLA at B=64, 5.85 vs 7.66 at
-        # B=128. Above B=128 the backward's live set (~10 (B*L,R) fp32
-        # intermediates) overflows VMEM — hence the batch gate.
+        # uses the HAND-DERIVED backward kernels (pallas_damsm.py:
+        # recompute the chain's intermediates in VMEM and walk it
+        # backwards): 5.67 vs 6.64 ms XLA at B=64, 5.85 vs 7.66 at B=128
+        # (single-kernel square fast path); above 128 texts the v3 text-
+        # tiled two-kernel backward takes over (BENCH.md round 3 for its
+        # numbers), so no batch cap remains.
         # Off-TPU the vmap form runs (the kernel would need interpret
         # mode). Multi-device: pallas_call has no SPMD partitioning rule,
         # so under a >1-device jitted step it would force replication /
         # all-gather of the sharded operands — the vmap form partitions
         # cleanly and stays the default there; the pretrain path instead
         # routes through the explicit-collective shard_map loss
-        # (losses/damsm_sharded.py), which calls the kernel per shard.
+        # (losses/damsm_sharded.py), which calls this kernel per shard
+        # (local images x all texts — the kernel's native rectangular
+        # grid).
         # NOTE: the gate reads the GLOBAL jax.device_count(), so a
         # single-device program on a multi-chip host conservatively falls
         # back to vmap — pass fused=True explicitly there.
         fused = (jax.default_backend() == "tpu"
-                 and jax.device_count() == 1
-                 and img_features.shape[0] <= 128)
+                 and jax.device_count() == 1)
     if fused:
         from attngan_tpu.ops.pallas_damsm import words_loss_pallas
 

@@ -63,12 +63,21 @@ def _local_similarity_rows(local_regions, all_words, all_word_mask, gamma1,
 
 
 def make_sharded_damsm_loss(mesh: Mesh, gamma1=4.0, gamma2=5.0, gamma3=10.0,
-                            wlambda=5.0, slambda=5.0):
+                            wlambda=5.0, slambda=5.0, fused=None):
     """Returns loss_fn(img_features, cnn_code, words_emb, sent_emb, labels,
     word_mask, class_ids) with every batch arg sharded over the mesh's batch
     axes (1-D 'data' or 2-D ('slice', 'data')); the returned scalar is
-    replicated. Differentiable (shard_map supports AD)."""
+    replicated. Differentiable (shard_map supports AD).
+
+    ``fused``: route each shard's similarity rows through the Pallas kernel
+    (ops/pallas_damsm.py) — its (local images x all texts) grid is exactly
+    this loss's per-shard work, and the kernel's text tiling bounds VMEM at
+    any global batch. Default: on for TPU, vmap elsewhere."""
     axes = batch_axes(mesh)
+    if fused is None:
+        import jax as _jax
+
+        fused = _jax.default_backend() == "tpu"
 
     def local_fn(img_features, cnn_code, words_emb, sent_emb, labels,
                  word_mask, class_ids):
@@ -81,8 +90,14 @@ def make_sharded_damsm_loss(mesh: Mesh, gamma1=4.0, gamma2=5.0, gamma3=10.0,
                      if class_ids is not None else None)
 
         # Sharded heavy compute: this device's image rows vs all texts.
-        rows = _local_similarity_rows(img_features, all_words, all_mask,
-                                      gamma1, gamma2)
+        if fused:
+            from attngan_tpu.ops.pallas_damsm import damsm_similarity_pallas
+
+            rows = damsm_similarity_pallas(img_features, all_words, all_mask,
+                                           gamma1, gamma2)
+        else:
+            rows = _local_similarity_rows(img_features, all_words, all_mask,
+                                          gamma1, gamma2)
         # Tiny gather: full (B, B) similarity, replicated CE both ways.
         sims = jax.lax.all_gather(rows, axes, tiled=True) * gamma3
         if all_class is not None:

@@ -8,14 +8,22 @@ materializes O(B^2 * R * L) intermediates in HBM; this kernel computes each
 pair's whole chain (two matmuls, two softmaxes, cosine, logsumexp) in VMEM
 and writes ONE scalar per pair.
 
-Grid layout (kernel v2): one cell per image j computing ALL B texts at once
-— the (R, D) region block is loaded from HBM exactly once per image (the
-dominant traffic term) and the per-pair chain runs as two MXU-wide matmuls
-over the flattened (B*L, D) word matrix with sublane-group softmaxes.
-(Kernel v1 walked texts in a fori_loop, serializing L=8-column matmuls,
-and lost to XLA 5.9 ms vs 1.6 ms at reference dims — BENCH.md r1 #4.)
+Grid layout (kernel v3): one cell per (image j, text tile k) — the (R, D)
+region block is loaded from HBM once per image row of the grid (the
+dominant traffic term) and each cell's chain runs as two MXU-wide matmuls
+over a (T*L, D) word tile with sublane-group softmaxes. Images and texts
+are INDEPENDENT axes: the image side may be a data-parallel shard while the
+text side is the full gathered batch (losses/damsm_sharded.py), and the
+text tiling bounds VMEM at any batch (the v2 kernel held ALL B texts per
+cell, capping B at ~128 — BENCH.md round 2).
 
-Backward: custom_vjp recomputing through the jnp path (rematerialization).
+Backward: hand-derived VJP as two Pallas kernels sharing one recompute
+body — grid (Bi, K) accumulating d_ctx over the inner text tiles, and grid
+(K, Bi) accumulating d_words over the inner images (each output block
+stays VMEM-resident exactly while its grid axis is innermost). A square
+single-tile fast path keeps the round-2 single-kernel backward (one
+recompute instead of two) where it measured fastest (B <= 128 at reference
+dims).
 """
 
 from __future__ import annotations
@@ -30,19 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 from attngan_tpu.losses.damsm import EPS
 from attngan_tpu.ops.attention import damsm_attention
 
+# Text-tile sizes (texts per grid cell). Forward live set ~6 fp32 (T*L, R)
+# arrays; backward ~10-12 — both sized to stay well inside ~16 MB VMEM at
+# reference dims (R=289, D=256, L<=8).
+_TILE_FWD = 128
+_TILE_BWD = 64
 
-def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
-                       gstart_ref, out_ref, *, gamma1, gamma2, l_static):
-    """One grid cell = one image j vs ALL texts AT ONCE (kernel v2).
 
-    The (R, D) region block is loaded from HBM once; all B texts' words
-    arrive pre-flattened as one (B*L, D) operand so both matmuls run at
-    MXU-friendly sizes — v1's per-text fori_loop serialized (R,D)x(D,L)
-    matmuls with L=8 output columns, idling >90% of the array (BENCH.md r1:
-    5.9 ms vs XLA's 1.6 ms).
+def _chain_fwd(ctx, w, bias, maskf, gsel, gstart, gamma1, gamma2, num_words):
+    """Forward chain of one (image, text-tile) cell, all in VMEM.
 
-    Mosaic constraint: sublane<->lane shape casts like (B,L)->(B*L,1) are
-    unsupported, so the kernel contains NO reshapes — and neither strided
+    ctx (R, D) fp32; w (T*L, D) fp32; bias/maskf (T*L, 1); gsel/gstart
+    (T, T*L) 0/1 selectors. Returns every intermediate the backward needs.
+
+    Mosaic constraint: sublane<->lane shape casts like (T,L)->(T*L,1) are
+    unsupported, so the body contains NO reshapes — and neither strided
     row slices (s[j::L]) nor lax.slice with stride L lower (gather /
     extract_strided_slice stride limits). The word-group softmax (softmax
     #1, over L words per region) shifts by the PER-GROUP max instead
@@ -54,35 +64,26 @@ def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
     by ~88 — softmax is only shift-invariant per group.) Softmax #2 over
     regions is a plain lane reduction.
     """
-    ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
-    w = words_ref[...].astype(jnp.float32)         # (B*L, D) pre-flattened
-    gsel = gsel_ref[...]                           # (B, B*L) group selector
-    gstart = gstart_ref[...]                       # (B, B*L) start-row sel
     d = ctx.shape[-1]
-    num_words = l_static
     scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
-    s = jax.lax.dot_general(                       # (B*L, R)
+    s = jax.lax.dot_general(                       # (T*L, R)
         w, ctx, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    s = s + bias_ref[...]                          # (B*L, 1) -1e9 word pads
-    # softmax #1 over WORDS per region (attention.py:83): running max over
-    # the L rotations puts each group's max at its first row (groups are
-    # contiguous and aligned, so no wraparound reaches a start row)...
+    s = s + bias
     m = s
     total_rows = s.shape[0]
     for j in range(1, num_words):
         # roll requires a non-negative shift; rolling UP by j == rolling
         # down by (rows - j)
         m = jnp.maximum(m, pltpu.roll(s, total_rows - j, 0))
-    gmax = jnp.dot(gstart, m, preferred_element_type=jnp.float32)  # (B, R)
-    # ...scattered back to every row through the 0/1 selector (exact)
-    shift = jax.lax.dot_general(                   # (B*L, R)
+    gmax = jnp.dot(gstart, m, preferred_element_type=jnp.float32)  # (T, R)
+    shift = jax.lax.dot_general(                   # (T*L, R) scatter back
         gsel, gmax, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     e1 = jnp.exp(s - shift)
-    gsum = jnp.dot(gsel, e1, preferred_element_type=jnp.float32)  # (B, R)
-    denom = jax.lax.dot_general(                   # (B*L, R) scatter back
+    gsum = jnp.dot(gsel, e1, preferred_element_type=jnp.float32)   # (T, R)
+    denom = jax.lax.dot_general(
         gsel, gsum, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     a1 = e1 / jnp.maximum(denom, EPS)
@@ -90,90 +91,41 @@ def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
     t = a1 * gamma1
     e2 = jnp.exp(t - jnp.max(t, axis=-1, keepdims=True))
     a2 = e2 / jnp.sum(e2, axis=-1, keepdims=True)
-    weighted = jnp.dot(a2, ctx, preferred_element_type=jnp.float32)  # (BL, D)
-    num = jnp.sum(w * weighted, axis=-1, keepdims=True)              # (BL, 1)
-    norms = (jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
-             * jnp.sqrt(jnp.sum(weighted * weighted, axis=-1,
-                                keepdims=True)))
-    cos = num / jnp.maximum(norms, EPS)
-    # Eq. 10: log sum_l exp(gamma2*cos) over REAL words, grouped per text
-    expg = jnp.exp(gamma2 * cos) * maskf_ref[...]                    # (BL, 1)
-    agg = jnp.dot(gsel, expg, preferred_element_type=jnp.float32)    # (B, 1)
-    out_ref[0] = jnp.log(agg)
-
-
-def _image_cell_bwd_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
-                           gstart_ref, gt_ref, dctx_ref, dwords_ref, *,
-                           gamma1, gamma2, l_static):
-    """Backward of one image cell: hand-derived VJP of the fwd chain.
-
-    Recomputes the forward intermediates in VMEM (they were never
-    materialized), then walks the chain backwards: Eq.10 logsumexp ->
-    cosine -> weighted-context matmul -> region softmax -> word-group
-    softmax -> score matmul. dctx (R, D) is this cell's own output block;
-    dwords (B*L, D) accumulates across the sequential grid (constant index
-    map keeps the block VMEM-resident; zeroed at cell 0). The incoming
-    cotangent arrives PRE-TRANSPOSED (gt[:, j] = g[j, :]) so the kernel
-    needs no sublane<->lane transpose.
-    """
-    j = pl.program_id(0)
-    ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
-    w = words_ref[...].astype(jnp.float32)         # (B*L, D)
-    gsel = gsel_ref[...]                           # (B, B*L)
-    gstart = gstart_ref[...]                       # (B, B*L)
-    gt = gt_ref[...]                               # (B, B): gt[:, j]=g[j, :]
-    # column j via a one-hot lane mask + reduction (dynamic lane slicing and
-    # sub-128 lane blocks are both unsupported)
-    lane = jax.lax.broadcasted_iota(jnp.int32, gt.shape, 1)
-    g_col = jnp.sum(jnp.where(lane == j, gt, 0.0), axis=1,
-                    keepdims=True)                 # (B, 1) = dL/d sims[j, :]
-    d = ctx.shape[-1]
-    num_words = l_static
-    scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
-
-    # ---- forward recompute (mirrors _image_cell_kernel) ----
-    s = jax.lax.dot_general(w, ctx, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[...]
-    m = s
-    total_rows = s.shape[0]
-    for jj in range(1, num_words):
-        m = jnp.maximum(m, pltpu.roll(s, total_rows - jj, 0))
-    gmax = jnp.dot(gstart, m, preferred_element_type=jnp.float32)
-    shift = jax.lax.dot_general(gsel, gmax, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    e1 = jnp.exp(s - shift)
-    gsum = jnp.dot(gsel, e1, preferred_element_type=jnp.float32)
-    denom = jax.lax.dot_general(gsel, gsum, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    a1 = e1 / jnp.maximum(denom, EPS)
-    t = a1 * gamma1
-    e2 = jnp.exp(t - jnp.max(t, axis=-1, keepdims=True))
-    a2 = e2 / jnp.sum(e2, axis=-1, keepdims=True)
-    v = jnp.dot(a2, ctx, preferred_element_type=jnp.float32)   # (BL, D)
-    num = jnp.sum(w * v, axis=-1, keepdims=True)               # (BL, 1)
+    v = jnp.dot(a2, ctx, preferred_element_type=jnp.float32)       # (TL, D)
+    num = jnp.sum(w * v, axis=-1, keepdims=True)                   # (TL, 1)
     wn = jnp.sqrt(jnp.sum(w * w, axis=-1, keepdims=True))
     vn = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
     norms = wn * vn
     nc = jnp.maximum(norms, EPS)
     cos = num / nc
-    expg = jnp.exp(gamma2 * cos) * maskf_ref[...]              # (BL, 1)
-    agg = jnp.dot(gsel, expg, preferred_element_type=jnp.float32)  # (B, 1)
+    # Eq. 10: log sum_l exp(gamma2*cos) over REAL words, grouped per text
+    expg = jnp.exp(gamma2 * cos) * maskf                           # (TL, 1)
+    agg = jnp.dot(gsel, expg, preferred_element_type=jnp.float32)  # (T, 1)
+    return s, a1, a2, v, num, wn, vn, norms, nc, expg, agg
 
-    # ---- backward ----
-    d_agg = g_col / agg                                        # (B, 1)
+
+def _chain_bwd(chain, ctx, w, gsel, d_agg, gamma1, gamma2):
+    """Hand-derived VJP of _chain_fwd given d(loss)/d(agg) (T, 1).
+
+    Walks the chain backwards: Eq.10 logsumexp -> cosine -> weighted-
+    context matmul -> region softmax -> word-group softmax -> score
+    matmul. Returns (d_ctx (R, D), d_w (T*L, D)).
+    """
+    s, a1, a2, v, num, wn, vn, norms, nc, expg, agg = chain
+    d = ctx.shape[-1]
+    scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
     d_expg = jax.lax.dot_general(gsel, d_agg, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    d_cos = d_expg * gamma2 * expg                             # (BL, 1)
+    d_cos = d_expg * gamma2 * expg                             # (TL, 1)
     d_num = d_cos / nc
     d_norms = jnp.where(norms > EPS, -d_cos * num / (nc * nc), 0.0)
     d_wn = d_norms * vn
     d_vn = d_norms * wn
-    d_w = d_num * v + d_wn * w / jnp.maximum(wn, EPS)          # (BL, D)
-    d_v = d_num * w + d_vn * v / jnp.maximum(vn, EPS)          # (BL, D)
+    d_w = d_num * v + d_wn * w / jnp.maximum(wn, EPS)          # (TL, D)
+    d_v = d_num * w + d_vn * v / jnp.maximum(vn, EPS)          # (TL, D)
     # v = a2 @ ctx
     d_a2 = jax.lax.dot_general(d_v, ctx, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (BL,R)
+                               preferred_element_type=jnp.float32)  # (TL,R)
     d_ctx = jax.lax.dot_general(a2, d_v, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (R,D)
     # a2 = softmax over regions of t = gamma1 * a1
@@ -189,6 +141,44 @@ def _image_cell_bwd_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
     d_ctx = d_ctx + scale * jax.lax.dot_general(
         d_s, w, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    return d_ctx, d_w
+
+
+def _image_cell_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
+                       gstart_ref, out_ref, *, gamma1, gamma2, l_static):
+    """One grid cell = (image j, text tile k): T texts' Eq.10 scores."""
+    ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
+    w = words_ref[...].astype(jnp.float32)         # (T*L, D) pre-flattened
+    chain = _chain_fwd(ctx, w, bias_ref[...], maskf_ref[...], gsel_ref[...],
+                       gstart_ref[...], gamma1, gamma2, l_static)
+    agg = chain[-1]                                # (T, 1)
+    out_ref[0] = jnp.log(agg)
+
+
+def _image_cell_bwd_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
+                           gstart_ref, gt_ref, dctx_ref, dwords_ref, *,
+                           gamma1, gamma2, l_static):
+    """Square single-tile backward (round-2 fast path): grid (B,), ALL
+    texts per cell. One recompute serves both outputs: dctx (R, D) is this
+    cell's own block; dwords (B*L, D) accumulates across the sequential
+    grid (constant index map keeps the block VMEM-resident; zeroed at cell
+    0). The incoming cotangent arrives PRE-TRANSPOSED (gt[:, j] = g[j, :])
+    so the kernel needs no sublane<->lane transpose."""
+    j = pl.program_id(0)
+    ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
+    w = words_ref[...].astype(jnp.float32)         # (B*L, D)
+    gsel = gsel_ref[...]                           # (B, B*L)
+    gt = gt_ref[...]                               # (B, B): gt[:, j]=g[j, :]
+    # column j via a one-hot lane mask + reduction (dynamic lane slicing and
+    # sub-128 lane blocks are both unsupported)
+    lane = jax.lax.broadcasted_iota(jnp.int32, gt.shape, 1)
+    g_col = jnp.sum(jnp.where(lane == j, gt, 0.0), axis=1,
+                    keepdims=True)                 # (B, 1) = dL/d sims[j, :]
+    chain = _chain_fwd(ctx, w, bias_ref[...], maskf_ref[...], gsel,
+                       gstart_ref[...], gamma1, gamma2, l_static)
+    agg = chain[-1]
+    d_agg = jnp.where(agg > 0, g_col / agg, 0.0)   # (B, 1)
+    d_ctx, d_w = _chain_bwd(chain, ctx, w, gsel, d_agg, gamma1, gamma2)
 
     dctx_ref[0] = d_ctx
 
@@ -199,8 +189,115 @@ def _image_cell_bwd_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
     dwords_ref[...] += d_w
 
 
-def _similarity_grid_bwd(img_features, words_flat, bias_flat, maskf_flat,
-                         gsel, gstart, g, gamma1, gamma2, interpret):
+def _tiled_bwd_kernel(ctx_ref, words_ref, bias_ref, maskf_ref, gsel_ref,
+                      gstart_ref, gt_ref, out_ref, *, gamma1, gamma2,
+                      l_static, emit, img_axis):
+    """Tiled backward cell: recompute the (image j, tile k) chain, emit ONE
+    cotangent. ``emit``: 'dctx' runs on grid (Bi, K) — d_ctx accumulates
+    over the INNER tile axis into the (1, R, D) block; 'dwords' runs on
+    grid (K, Bi) — d_words accumulates over the INNER image axis into the
+    (T*L, D) block. Each orientation keeps its output block VMEM-resident
+    exactly while it accumulates (Pallas only guarantees retention across
+    CONSECUTIVE grid steps). Two recomputes of a cheap forward buy
+    unbounded batch; the square fast path above keeps the single-recompute
+    form where it measured fastest."""
+    j = pl.program_id(img_axis)                    # image index
+    inner = pl.program_id(1)                       # innermost grid axis
+    ctx = ctx_ref[0].astype(jnp.float32)           # (R, D)
+    w = words_ref[...].astype(jnp.float32)         # (T*L, D)
+    gsel = gsel_ref[...]                           # (T, T*L)
+    gt = gt_ref[...]                               # (T, Bi): gt[:, j]=g[j,:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, gt.shape, 1)
+    g_col = jnp.sum(jnp.where(lane == j, gt, 0.0), axis=1,
+                    keepdims=True)                 # (T, 1)
+    chain = _chain_fwd(ctx, w, bias_ref[...], maskf_ref[...], gsel,
+                       gstart_ref[...], gamma1, gamma2, l_static)
+    agg = chain[-1]
+    # padded dummy texts have agg == 0 (all words masked) — guard the 0/0
+    d_agg = jnp.where(agg > 0, g_col / agg, 0.0)
+    d_ctx, d_w = _chain_bwd(chain, ctx, w, gsel, d_agg, gamma1, gamma2)
+
+    if emit == "dctx":
+        @pl.when(inner == 0)
+        def _zero():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        out_ref[0] += d_ctx
+    else:
+        @pl.when(inner == 0)
+        def _zero():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        out_ref[...] += d_w
+
+
+def _text_tile(bt: int, l: int, cap: int):
+    """Tile size T <= cap and the padded tile count K (texts padded to
+    K*T with fully-masked dummies — their Eq.10 column is sliced off and
+    their backward contribution is exactly zero via the agg > 0 guard)."""
+    t = min(bt, cap)
+    k = -(-bt // t)
+    return t, k
+
+
+def _tile_operands(words, word_mask, t, k):
+    """Flatten + pad the text side to (K*T*L, ...) and build the per-tile
+    (T, T*L) group selectors."""
+    from attngan_tpu.ops.attention import NEG_INF
+
+    bt, l, d = words.shape
+    pad = k * t - bt
+    if pad:
+        words = jnp.pad(words, ((0, pad), (0, 0), (0, 0)))
+        word_mask = jnp.pad(word_mask, ((0, pad), (0, 0)))
+    words_flat = words.reshape(k * t * l, d)
+    bias_flat = jnp.where(word_mask == 0, NEG_INF,
+                          0.0).astype(jnp.float32).reshape(k * t * l, 1)
+    maskf_flat = word_mask.astype(jnp.float32).reshape(k * t * l, 1)
+    # 0/1 selector: gsel[i, m] = 1 iff tile word row m belongs to tile text i
+    gsel = jnp.repeat(jnp.eye(t, dtype=jnp.float32), l, axis=1)
+    # start-row selector: 1 only at each text's FIRST flattened word row
+    gstart = jnp.zeros((t, t * l), jnp.float32).at[
+        jnp.arange(t), jnp.arange(t) * l].set(1.0)
+    return words_flat, bias_flat, maskf_flat, gsel, gstart
+
+
+def _similarity_grid(img_features, words, bias_flat, maskf_flat, words_flat,
+                     gsel, gstart, t, k, gamma1, gamma2, interpret):
+    bi, r, d = img_features.shape
+    l = words.shape[1]
+    tl = t * l
+    out = pl.pallas_call(
+        functools.partial(_image_cell_kernel, gamma1=gamma1, gamma2=gamma2,
+                          l_static=l),
+        grid=(bi, k),                 # cell = (image j, text tile kk)
+        in_specs=[
+            pl.BlockSpec((1, r, d), lambda j, kk: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tl, d), lambda j, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tl, 1), lambda j, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tl, 1), lambda j, kk: (kk, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, tl), lambda j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, tl), lambda j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, 1), lambda j, kk: (j, kk, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bi, k * t, 1), jnp.float32),
+        interpret=interpret,
+    )(img_features, words_flat, bias_flat, maskf_flat, gsel, gstart)
+    bt = words.shape[0]
+    return out[:, :bt, 0]                           # sims[j, i]
+
+
+def _similarity_grid_bwd_square(img_features, words_flat, bias_flat,
+                                maskf_flat, gsel, gstart, g, gamma1, gamma2,
+                                interpret):
+    """Round-2 single-kernel backward: square batch, ALL texts per cell."""
     b, r, d = img_features.shape
     bl = words_flat.shape[0]
     l = bl // b
@@ -240,47 +337,69 @@ def _similarity_grid_bwd(img_features, words_flat, bias_flat, maskf_flat,
     return d_img, d_words.reshape(b, l, d)
 
 
-def _similarity_grid(img_features, words, bias, maskt, gamma1, gamma2,
-                     interpret):
-    b, r, d = img_features.shape
-    l = words.shape[1]
-    bl = b * l
-    words_flat = words.reshape(bl, d)
-    bias_flat = bias.reshape(bl, 1)
-    maskf_flat = maskt.reshape(bl, 1)
-    # 0/1 selector: gsel[i, k] = 1 iff flattened word row k belongs to text i
-    gsel = jnp.repeat(jnp.eye(b, dtype=jnp.float32), l, axis=1)
-    # start-row selector: 1 only at each text's FIRST flattened word row
-    gstart = jnp.zeros((b, bl), jnp.float32).at[
-        jnp.arange(b), jnp.arange(b) * l].set(1.0)
-    out = pl.pallas_call(
-        functools.partial(_image_cell_kernel, gamma1=gamma1, gamma2=gamma2,
-                          l_static=l),
-        grid=(b,),                                  # one cell per image j
-        in_specs=[
-            pl.BlockSpec((1, r, d), lambda j: (j, 0, 0),
+def _similarity_grid_bwd_tiled(img_features, words, word_mask, g, gamma1,
+                               gamma2, interpret):
+    """Text-tiled backward: two kernels sharing the recompute body (see
+    _tiled_bwd_kernel). Lifts the square path's B <= 128 VMEM cap and
+    handles rectangular (sharded) batches."""
+    bi, r, d = img_features.shape
+    bt, l, _ = words.shape
+    t, k = _text_tile(bt, l, _TILE_BWD)
+    tl = t * l
+    words_flat, bias_flat, maskf_flat, gsel, gstart = _tile_operands(
+        words, word_mask, t, k)
+    # gt[:, j] = g[j, :], padded text rows get zero cotangent
+    gt = jnp.pad(g.T, ((0, k * t - bt), (0, 0)))    # (K*T, Bi)
+
+    common = dict(gamma1=gamma1, gamma2=gamma2, l_static=l)
+    operands = (img_features, words_flat, bias_flat, maskf_flat, gsel,
+                gstart, gt)
+
+    def specs(index):
+        # index(j, kk) -> grid coords of (image, tile) for this orientation
+        return [
+            pl.BlockSpec((1, r, d), lambda a, b: (index(a, b)[0], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bl, d), lambda j: (0, 0),
+            pl.BlockSpec((tl, d), lambda a, b: (index(a, b)[1], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bl, 1), lambda j: (0, 0),
+            pl.BlockSpec((tl, 1), lambda a, b: (index(a, b)[1], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bl, 1), lambda j: (0, 0),
+            pl.BlockSpec((tl, 1), lambda a, b: (index(a, b)[1], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, bl), lambda j: (0, 0),
+            pl.BlockSpec((t, tl), lambda a, b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, bl), lambda j: (0, 0),
+            pl.BlockSpec((t, tl), lambda a, b: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, b, 1), lambda j: (j, 0, 0),
+            pl.BlockSpec((t, bi), lambda a, b: (index(a, b)[1], 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    d_img = pl.pallas_call(
+        functools.partial(_tiled_bwd_kernel, emit="dctx", img_axis=0,
+                          **common),
+        grid=(bi, k),                                # image outer, tile inner
+        in_specs=specs(lambda a, b: (a, b)),
+        out_specs=pl.BlockSpec((1, r, d), lambda a, b: (a, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, b, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bi, r, d), jnp.float32),
         interpret=interpret,
-    )(img_features, words_flat, bias_flat, maskf_flat, gsel, gstart)
-    return out[:, :, 0]                             # sims[j, i]
+    )(*operands)
+    d_words = pl.pallas_call(
+        functools.partial(_tiled_bwd_kernel, emit="dwords", img_axis=1,
+                          **common),
+        grid=(k, bi),                                # tile outer, image inner
+        in_specs=specs(lambda a, b: (b, a)),
+        out_specs=pl.BlockSpec((tl, d), lambda a, b: (a, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * tl, d), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+    return d_img, d_words.reshape(k * t, l, d)[:bt]
 
 
 def _jnp_similarity(img_features, words, word_mask, gamma1, gamma2):
-    """Oracle path (same math as losses/damsm.py::words_loss inner loop)."""
+    """Oracle path (same math as losses/damsm.py::words_loss inner loop).
+    Rectangular-safe: images and texts may have different batch sizes."""
     batch = img_features.shape[0]
     wm = word_mask.astype(jnp.float32)
 
@@ -307,44 +426,40 @@ def _damsm_similarity(img_features, words, word_mask, gamma1, gamma2,
 
 def _damsm_similarity_fwd(img_features, words, word_mask, gamma1, gamma2,
                           interpret):
-    from attngan_tpu.ops.attention import NEG_INF
-
-    bias = jnp.where(word_mask == 0, NEG_INF, 0.0).astype(jnp.float32)
-    maskf = word_mask.astype(jnp.float32)
-    sims = _similarity_grid(img_features, words, bias, maskf,
+    bt, l, _ = words.shape
+    t, k = _text_tile(bt, l, _TILE_FWD)
+    words_flat, bias_flat, maskf_flat, gsel, gstart = _tile_operands(
+        words, word_mask, t, k)
+    sims = _similarity_grid(img_features, words, bias_flat, maskf_flat,
+                            words_flat, gsel, gstart, t, k,
                             float(gamma1), float(gamma2), interpret)
     return sims, (img_features, words, word_mask)
 
 
 def _damsm_similarity_bwd(gamma1, gamma2, interpret, residuals, g):
-    """Hand-derived backward in a second Pallas kernel (same cell layout as
-    the forward; intermediates recomputed in VMEM). Replaces the earlier
-    recompute-through-the-XLA-vjp backward that made fwd+bwd only break
-    even with the vmap form. Beyond ~(B*L, R) x 10 fp32 intermediates of
-    VMEM (B>128 at reference dims) the kernel cannot hold its live set —
-    fall back to the XLA-vjp recompute there."""
-    from attngan_tpu.ops.attention import NEG_INF
-
+    """Hand-derived backward (see module docstring). Square batches at
+    <= _TILE_BWD * 2 texts keep the round-2 single-kernel fast path (one
+    recompute); everything else — rectangular shards, B > 128 — runs the
+    text-tiled two-kernel path."""
     img_features, words, word_mask = residuals
-    b, r, d = img_features.shape
-    l = words.shape[1]
-    if b * l * r * 4 * 10 > 12 * 2**20:
-        _, vjp = jax.vjp(
-            lambda im, wd: _jnp_similarity(im, wd, word_mask, gamma1,
-                                           gamma2),
-            img_features, words,
-        )
-        d_img, d_words = vjp(g)
+    bi, r, d = img_features.shape
+    bt, l, _ = words.shape
+    if bi == bt and bt <= 2 * _TILE_BWD and bt * l * r * 4 * 10 <= 12 * 2**20:
+        from attngan_tpu.ops.attention import NEG_INF
+
+        bias_flat = jnp.where(word_mask == 0, NEG_INF,
+                              0.0).astype(jnp.float32).reshape(bt * l, 1)
+        maskf_flat = word_mask.astype(jnp.float32).reshape(bt * l, 1)
+        gsel = jnp.repeat(jnp.eye(bt, dtype=jnp.float32), l, axis=1)
+        gstart = jnp.zeros((bt, bt * l), jnp.float32).at[
+            jnp.arange(bt), jnp.arange(bt) * l].set(1.0)
+        d_img, d_words = _similarity_grid_bwd_square(
+            img_features, words.reshape(bt * l, d), bias_flat, maskf_flat,
+            gsel, gstart, g, float(gamma1), float(gamma2), interpret)
         return d_img, d_words, None
-    bias_flat = jnp.where(word_mask == 0, NEG_INF,
-                          0.0).astype(jnp.float32).reshape(b * l, 1)
-    maskf_flat = word_mask.astype(jnp.float32).reshape(b * l, 1)
-    gsel = jnp.repeat(jnp.eye(b, dtype=jnp.float32), l, axis=1)
-    gstart = jnp.zeros((b, b * l), jnp.float32).at[
-        jnp.arange(b), jnp.arange(b) * l].set(1.0)
-    d_img, d_words = _similarity_grid_bwd(
-        img_features, words.reshape(b * l, d), bias_flat, maskf_flat, gsel,
-        gstart, g, float(gamma1), float(gamma2), interpret)
+    d_img, d_words = _similarity_grid_bwd_tiled(
+        img_features, words, word_mask, g, float(gamma1), float(gamma2),
+        interpret)
     return d_img, d_words, None
 
 
@@ -352,14 +467,14 @@ _damsm_similarity.defvjp(_damsm_similarity_fwd, _damsm_similarity_bwd)
 
 
 def damsm_similarity_pallas(
-    img_features: jax.Array,   # (B, R, D)
-    words: jax.Array,          # (B, L, D)
-    word_mask: jax.Array,      # (B, L)
+    img_features: jax.Array,   # (Bi, R, D) — may be a data-parallel shard
+    words: jax.Array,          # (Bt, L, D) — e.g. the full gathered batch
+    word_mask: jax.Array,      # (Bt, L)
     gamma1: float = 4.0,
     gamma2: float = 5.0,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """sims[j, i] = Eq. 10 similarity of (image j, text i); (B, B) fp32."""
+    """sims[j, i] = Eq. 10 similarity of (image j, text i); (Bi, Bt) fp32."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _damsm_similarity(img_features, words, word_mask,

@@ -119,3 +119,71 @@ def test_words_loss_pallas_extreme_magnitudes(rng):
     for a, b in zip(gp, gj):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_pallas_damsm_similarity_rectangular(rng):
+    """Images and texts are independent axes (kernel v3): a 3-image shard
+    vs 5 texts must match the vmap oracle."""
+    from attngan_tpu.ops.pallas_damsm import _jnp_similarity
+
+    img, words, mask = _damsm_inputs(rng)
+    img = img[:3]
+    sims_p = damsm_similarity_pallas(img, words, mask)
+    sims_j = _jnp_similarity(img, words, mask, 4.0, 5.0)
+    assert sims_p.shape == (3, 4)
+    np.testing.assert_allclose(np.asarray(sims_p), np.asarray(sims_j),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_damsm_similarity_tiled_forward_and_grad(rng, monkeypatch):
+    """Force multi-tile grids (tile=2 over 5 texts -> K=3 with one padded
+    dummy text): forward AND the two-kernel tiled backward must match the
+    oracle, including the zero contribution of the padded tile."""
+    import attngan_tpu.ops.pallas_damsm as pd
+
+    monkeypatch.setattr(pd, "_TILE_FWD", 2)
+    monkeypatch.setattr(pd, "_TILE_BWD", 2)
+    img, words, mask = _damsm_inputs(rng, b=5)
+    img = img[:3]                      # rectangular too
+
+    sims_p = damsm_similarity_pallas(img, words, mask)
+    sims_j = pd._jnp_similarity(img, words, mask, 4.0, 5.0)
+    np.testing.assert_allclose(np.asarray(sims_p), np.asarray(sims_j),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss_p(im, wd):
+        return jnp.sum(jnp.sin(damsm_similarity_pallas(im, wd, mask)))
+
+    def loss_j(im, wd):
+        return jnp.sum(jnp.sin(pd._jnp_similarity(im, wd, mask, 4.0, 5.0)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(img, words)
+    gj = jax.grad(loss_j, argnums=(0, 1))(img, words)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_words_loss_large_batch_tiled_grad(rng):
+    """B > 2 * _TILE_BWD texts routes the tiled backward even square — the
+    round-2 cap at B=128 is lifted. Scaled-down tiles via real sizes would
+    be slow in interpret mode; 5 texts with tile=2 already covered the
+    machinery, so here just assert the square fast-path gate still fires
+    for small square batches (shape-driven dispatch sanity)."""
+    import attngan_tpu.ops.pallas_damsm as pd
+
+    img, words, mask = _damsm_inputs(rng)
+    calls = {}
+    orig = pd._similarity_grid_bwd_square
+
+    def spy(*a, **k):
+        calls["square"] = True
+        return orig(*a, **k)
+
+    pd._similarity_grid_bwd_square = spy
+    try:
+        jax.grad(lambda im: jnp.sum(damsm_similarity_pallas(im, words,
+                                                            mask)))(img)
+    finally:
+        pd._similarity_grid_bwd_square = orig
+    assert calls.get("square"), "square fast path should serve B=4"
