@@ -99,3 +99,84 @@ def make_synthetic_dataset(
             rec.class_id = cls
         records.append(rec)
     return Dataset(records=records)
+
+
+def find_bundled_photos() -> "dict[str, str]":
+    """Paths of real photographs shipped inside the baked-in python
+    packages (the only real-photo bytes reachable without egress):
+    sklearn's china.jpg / flower.jpg sample images and matplotlib's
+    grace_hopper.jpg. Returns {name: path} for the ones present."""
+    import os
+
+    photos = {}
+    try:
+        from sklearn import datasets as skd
+
+        img_dir = os.path.join(os.path.dirname(skd.__file__), "images")
+        for name in ("china", "flower"):
+            p = os.path.join(img_dir, f"{name}.jpg")
+            if os.path.exists(p):
+                photos[name] = p
+    except ImportError:
+        pass
+    try:
+        import matplotlib
+
+        p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                         "sample_data", "grace_hopper.jpg")
+        if os.path.exists(p):
+            photos["hopper"] = p
+    except ImportError:
+        pass
+    return photos
+
+
+def make_photo_patch_dataset(
+    num_images: int = 384,
+    seed: int = 0,
+    res: int = CANONICAL_RES,
+):
+    """REAL-photograph corpus with known factors for clustering quality.
+
+    LSUN is not fetchable here, so this carves ``num_images`` random
+    square patches (random scale + position, 50% mirrored) out of the
+    real photographs bundled with sklearn/matplotlib — actual camera
+    sensor data with natural texture, lighting, and color statistics,
+    unlike the procedural scene corpus. Ground truth for ARI: 'photo'
+    (source photograph) and 'region' (2x2 quadrant of the patch center —
+    a weaker within-photo factor).
+
+    Returns (Dataset, factors) like make_scene_dataset.
+    """
+    from PIL import Image
+
+    photos = find_bundled_photos()
+    if not photos:
+        raise RuntimeError("no bundled real photos found "
+                           "(sklearn/matplotlib missing)")
+    names = sorted(photos)
+    arrays = []
+    for n in names:
+        with Image.open(photos[n]) as im:
+            arrays.append(np.asarray(im.convert("RGB")))
+    rng = np.random.default_rng(seed)
+    records: List[Record] = []
+    photo_ids = rng.integers(0, len(arrays), num_images)
+    regions = np.empty(num_images, np.int64)
+    for i in range(num_images):
+        src = arrays[photo_ids[i]]
+        h, w = src.shape[:2]
+        side = int(rng.integers(160, min(h, w) + 1))
+        y = int(rng.integers(0, h - side + 1))
+        x = int(rng.integers(0, w - side + 1))
+        cy, cx = (y + side // 2) * 2 // h, (x + side // 2) * 2 // w
+        regions[i] = min(cy, 1) * 2 + min(cx, 1)
+        patch = src[y: y + side, x: x + side]
+        if rng.random() < 0.5:
+            patch = patch[:, ::-1]
+        img = Image.fromarray(patch).resize((res, res), Image.BILINEAR)
+        records.append(Record(
+            fpath=f"photo_patches/{names[photo_ids[i]]}_{i:05d}.jpg",
+            pixels=np.asarray(img, np.uint8)))
+    dataset = Dataset(records=records)
+    return dataset, {"photo": photo_ids, "region": regions}

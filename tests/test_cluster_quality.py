@@ -77,3 +77,25 @@ def test_cluster_quality_run_summary(tmp_path, monkeypatch):
         summary["caption_swap_demo"]["after"][0]
     grids = [f for f in os.listdir(tmp_path) if f.startswith("k-")]
     assert grids, "evaluate_clustering grids missing"
+
+
+def test_photo_patch_dataset_real_photos():
+    """Real-photograph patch corpus (round 3): built from the photos
+    bundled in sklearn/matplotlib, deterministic per seed, with 'photo'
+    and 'region' ground-truth factors."""
+    from attngan_tpu.data.synthetic import (find_bundled_photos,
+                                            make_photo_patch_dataset)
+
+    photos = find_bundled_photos()
+    assert len(photos) >= 2, f"bundled photos missing: {photos}"
+    ds, factors = make_photo_patch_dataset(24, seed=3, res=64)
+    assert len(ds.records) == 24
+    assert set(factors) == {"photo", "region"}
+    assert factors["photo"].max() < len(photos)
+    px = ds.records[0].pixels
+    assert px.shape == (64, 64, 3) and px.dtype == np.uint8
+    # patches are real image content, not constant fills
+    assert px.std() > 5
+    ds2, f2 = make_photo_patch_dataset(24, seed=3, res=64)
+    np.testing.assert_array_equal(ds.records[0].pixels, ds2.records[0].pixels)
+    np.testing.assert_array_equal(factors["photo"], f2["photo"])

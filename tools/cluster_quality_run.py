@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--data-root", default="",
                    help="real photo directory (recursive .jpg scan); "
                         "default: procedural scene corpus")
+    p.add_argument("--photo-patches", action="store_true",
+                   help="REAL-photograph patch corpus from the photos "
+                        "bundled with sklearn/matplotlib (ARI vs source "
+                        "photo + quadrant; data/synthetic.py)")
     p.add_argument("--max-images", type=int, default=2000)
     p.add_argument("--latent-dims", type=int, default=128)
     p.add_argument("--max-vocab-size", type=int, default=64)
@@ -68,6 +72,11 @@ def run(args):
     factors = None
     if args.data_root:
         dataset = Dataset(args.data_root, max_images=args.max_images)
+    elif args.photo_patches:
+        from attngan_tpu.data.synthetic import make_photo_patch_dataset
+
+        dataset, factors = make_photo_patch_dataset(args.num_images,
+                                                    seed=args.seed)
     else:
         from attngan_tpu.data.synthetic import make_scene_dataset
 
