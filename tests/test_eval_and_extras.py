@@ -39,6 +39,37 @@ def test_fid_evaluator_orders_similarity(rng):
     assert ev.fid(real, near) < ev.fid(real, far)
 
 
+def test_int8_vs_bf16_fid_harness(rng):
+    """int8 serving-tier quality delta in FID units (VERDICT r2 #8): the
+    harness samples the same batch through the float and int8 samplers and
+    reports FID between them, plus absolute FIDs vs a real set when given.
+    On a random-init checkpoint the int8-vs-float shift must be finite and
+    far smaller than either's distance to unrelated real images."""
+    from attngan_tpu.core.config import GanConfig
+    from attngan_tpu.eval.fid import FIDEvaluator, int8_vs_bf16_fid
+    from attngan_tpu.train.gan_trainer import GanTrainer
+
+    vocab = 30
+    cfg = GanConfig(gf_dim=8, df_dim=8, emb_dim=32, seq_len=4, num_stages=2,
+                    compute_dtype="", image_encoder="tiny")
+    trainer = GanTrainer(cfg, vocab_size=vocab)
+    state = trainer.init_state(seed=0)
+    tokens = jnp.asarray(rng.integers(0, vocab, (8, cfg.seq_len)), jnp.int32)
+    lengths = jnp.full((8,), cfg.seq_len, jnp.int32)
+
+    feature_fn = lambda x: jnp.concatenate(
+        [jnp.mean(x, axis=(1, 2)), jnp.std(x, axis=(1, 2))], axis=-1)
+    ev = FIDEvaluator(feature_fn=feature_fn, batch_size=8)
+    real = rng.standard_normal((8, 128, 128, 3)).astype(np.float32)
+    out = int8_vs_bf16_fid(trainer, state, tokens, lengths,
+                           jax.random.key(3), real_images=real, evaluator=ev)
+    assert set(out) == {"fid_int8_vs_float", "fid_float", "fid_int8"}
+    assert all(np.isfinite(v) for v in out.values()), out
+    assert out["fid_int8_vs_float"] >= 0
+    # int8 is a small perturbation of the float sampler's distribution
+    assert out["fid_int8_vs_float"] < 0.1 * out["fid_float"], out
+
+
 def test_conv_solver_matches_reference_search():
     from attngan_tpu.ops.layers import calculate_out_hw, solve_conv_params
 

@@ -128,21 +128,27 @@ def test_damsm_trunk_int8_step(rng):
                               jnp.float32) * 0.5,
     }
 
-    losses = {}
+    N_STEPS = 4
+    trajectories = {}
     for flag in (False, True):
         cfg = dataclasses.replace(base, trunk_int8=flag)
         tr = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=32)
         st = tr.init_state(seed=0)
-        st, m = tr.train_step(st, dict(batch))
-        assert np.isfinite(float(m["loss"]))
-        losses[flag] = float(m["loss"])
+        losses = []
+        for _ in range(N_STEPS):
+            st, m = tr.train_step(st, dict(batch))
+            loss = float(m["loss"])
+            assert np.isfinite(loss)
+            losses.append(loss)
+        trajectories[flag] = losses
         if flag:
             assert tr._trunk_scales and len(tr._trunk_scales) >= 2
-            # second step reuses the cached calibration
-            st, m2 = tr.train_step(st, dict(batch))
-            assert np.isfinite(float(m2["loss"]))
-    # int8 perturbs the trunk features but must stay in the same regime
-    assert abs(losses[True] - losses[False]) / abs(losses[False]) < 0.05
+    # int8 perturbs the trunk features but the whole OPTIMIZATION TRAJECTORY
+    # must stay in the float regime (VERDICT r2 #8): bounded per-step
+    # relative deviation, and the loss still decreases under int8
+    for f_loss, q_loss in zip(trajectories[False], trajectories[True]):
+        assert abs(q_loss - f_loss) / abs(f_loss) < 0.05, trajectories
+    assert trajectories[True][-1] < trajectories[True][0], trajectories
 
 
 def test_trunk_int8_rejects_train_mode_bn():
