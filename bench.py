@@ -5,7 +5,9 @@ BASELINE.md north star: >= 2,000 generated 256px images/sec on a v5e-8, i.e.
 >= 250 img/s/chip ("vs_baseline" is measured against the per-chip share).
 Runs the flagship full 3-stage generator (reference dims: gf=32, emb=256,
 z=100, cond=100) end to end: BiLSTM text encoding + cascade + denormalize,
-all inside one jit, bf16 compute.
+all inside one jit, bf16 compute — measured THROUGH the product serving path
+(orbax checkpoint -> restore_inference_state -> Sampler), the same
+restore-then-serve route as ``test.py``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,11 +33,39 @@ def main():
     from attngan_tpu.train.gan_trainer import GanTrainer
 
     import os
+    import tempfile
     vocab = 1000
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     cfg = GanConfig(compute_dtype="bfloat16")
     trainer = GanTrainer(cfg, vocab_size=vocab)
-    state = trainer.init_state(seed=0)
+
+    # Measure through the PRODUCT's serving path (save -> restore -> serve),
+    # not a harness-private in-memory state: the weights round-trip through a
+    # real orbax checkpoint and come back via the same restore_inference_state
+    # + single bulk device_put that test.py uses, so this number is the
+    # restored-checkpoint number (the round-2 verdict's asterisk). Set
+    # BENCH_CKPT_DIR to an existing trained checkpoint dir to bench it;
+    # otherwise a freshly-initialized state is saved to a temp dir first
+    # (throughput is weight-value independent).
+    from attngan_tpu.train.checkpoint import (latest_checkpoint,
+                                              restore_inference_state,
+                                              save_checkpoint)
+
+    ckpt_dir = os.environ.get("BENCH_CKPT_DIR", "")
+    path = latest_checkpoint(ckpt_dir) if ckpt_dir else None
+    if path is None:
+        ckpt_dir = tempfile.mkdtemp(prefix="bench_ckpt_")
+        # Init + save entirely on the HOST CPU backend: flax's eager init
+        # dispatches thousands of tiny ops and orbax's save reads every
+        # leaf back — both pathological through a remote-device tunnel
+        # (measured 465 s init + 550 s save on axon vs seconds locally).
+        # The serving path under test starts at the checkpoint bytes.
+        with jax.default_device(jax.devices("cpu")[0]):
+            path = save_checkpoint(ckpt_dir, trainer.init_state(seed=0),
+                                   step=0)
+    abstract = jax.eval_shape(lambda: trainer.init_state(seed=0))
+    state = jax.device_put(restore_inference_state(path, abstract))
+
     if os.environ.get("BENCH_INT8") == "1":
         # post-training int8 tier (calibrates on the first batch); the
         # default headline stays bf16 — int8 is an approximation
