@@ -61,7 +61,9 @@ def _reduce_dimensionality(x: np.ndarray, outdims: int,
                            reducer: str = "auto") -> np.ndarray:
     """reducer: 'umap' (the reference's choice, if installed), 'pca',
     'spectral' (neighbor-graph nonlinear embedding, the closest available
-    analog to UMAP), or 'auto' = umap if importable else pca."""
+    analog to UMAP), 'tsne' (low-dim manifold embedding, capped at 3
+    components by sklearn's barnes-hut), or 'auto' = umap if importable
+    else pca."""
     if reducer in ("auto", "umap"):
         try:
             from umap import UMAP  # reference reducer (bedrooms.py:274-276)
@@ -71,6 +73,14 @@ def _reduce_dimensionality(x: np.ndarray, outdims: int,
             if reducer == "umap":
                 raise
             reducer = "pca"
+    if reducer == "tsne":
+        from sklearn.manifold import TSNE
+
+        n = x.shape[0]
+        outdims = min(outdims, 3)  # barnes-hut supports <= 3 components
+        return TSNE(n_components=outdims, init="pca",
+                    perplexity=min(30.0, max(2.0, (n - 1) / 3.0)),
+                    random_state=0).fit_transform(x)
     if reducer == "spectral":
         from sklearn.manifold import SpectralEmbedding
 

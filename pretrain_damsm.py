@@ -36,7 +36,7 @@ def parse_args():
                             "agglomerative_complete"])
     p.add_argument("--latent-dims", type=int, default=128)
     p.add_argument("--reducer", default="auto",
-                   choices=["auto", "umap", "pca", "spectral"],
+                   choices=["auto", "umap", "pca", "spectral", "tsne"],
                    help="embedding reducer before clustering (reference "
                         "uses UMAP; spectral is the sklearn analog)")
     p.add_argument("--min-clusters", type=int, default=5)

@@ -46,7 +46,7 @@ def parse_args():
                    choices=["kmeans", "agglomerative_single_linkage",
                             "agglomerative_complete"])
     p.add_argument("--reducer", default="pca",
-                   choices=["auto", "umap", "pca", "spectral"],
+                   choices=["auto", "umap", "pca", "spectral", "tsne"],
                    help="spectral = sklearn neighbor-graph embedding, the "
                         "closest available analog to the reference's UMAP")
     p.add_argument("--embedder-weights", default="",
