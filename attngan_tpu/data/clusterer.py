@@ -7,10 +7,12 @@ ascending ladder of k values (coarse -> fine); each level appends a token
 ``k{k}c{c}`` to the image's caption, and the finest clustering assigns the
 class_id used by the DAMSM mismatch masks.
 
-Divergence: the reference reduces with UMAP (bedrooms.py:274-276); umap is
-not installed here, so the default falls back to PCA, with sklearn's
-SpectralEmbedding available as the closest nonlinear (neighbor-graph)
-analog — pick with ``reducer=``. Reducer impact on cluster quality is
+Reducers: the reference reduces with UMAP (bedrooms.py:274-276).
+``reducer='umap'`` uses umap-learn if installed, else the NATIVE UMAP
+implementation in attngan_tpu/data/umap_native.py (same algorithm from the
+paper's math). ``'auto'`` stays pca — the measured default on real
+photographs (docs/cluster_quality_photos/). sklearn SpectralEmbedding and
+t-SNE remain as alternates. Reducer impact on cluster quality is
 measurable with tools/cluster_quality_run.py (ARI vs known factors).
 sklearn's AgglomerativeClustering dropped the ``affinity`` kwarg in favor
 of ``metric`` — handled for both API generations.
@@ -59,11 +61,11 @@ def _make_cluster_labels(x: np.ndarray, k: int, method: str) -> List[str]:
 
 def _reduce_dimensionality(x: np.ndarray, outdims: int,
                            reducer: str = "auto") -> np.ndarray:
-    """reducer: 'umap' (the reference's choice, if installed), 'pca',
-    'spectral' (neighbor-graph nonlinear embedding, the closest available
-    analog to UMAP), 'tsne' (low-dim manifold embedding, capped at 3
-    components by sklearn's barnes-hut), or 'auto' = umap if importable
-    else pca."""
+    """reducer: 'umap' (the reference's choice — umap-learn if installed,
+    else the native implementation in umap_native.py), 'pca', 'spectral'
+    (neighbor-graph nonlinear embedding), 'tsne' (capped at 3 components
+    by sklearn's barnes-hut), or 'auto' = umap-learn if importable else
+    pca (the measured real-photo default)."""
     if reducer in ("auto", "umap"):
         try:
             from umap import UMAP  # reference reducer (bedrooms.py:274-276)
@@ -71,7 +73,14 @@ def _reduce_dimensionality(x: np.ndarray, outdims: int,
             return UMAP(n_components=outdims).fit_transform(x)
         except ImportError:
             if reducer == "umap":
-                raise
+                # umap-learn absent: use the native implementation of the
+                # same algorithm (attngan_tpu/data/umap_native.py).
+                from attngan_tpu.data.umap_native import umap_embed
+
+                return umap_embed(x, n_components=outdims)
+            # 'auto' stays pca: the measured default on real photographs
+            # (docs/cluster_quality_photos/ — pca matches the nonlinear
+            # reducers' ARI, deterministically, at full latent width).
             reducer = "pca"
     if reducer == "tsne":
         from sklearn.manifold import TSNE
