@@ -43,6 +43,13 @@ class DamsmConfig:
     # ^ the reference accidentally runs the frozen Inception trunk with
     #   train-mode BatchNorm during DAMSM pretraining (the model is never put
     #   in eval()); True reproduces that, False (default) uses running stats.
+    superbatch: int = 1
+    # ^ amortize the frozen-trunk forward: run it ONCE at superbatch*batch_size
+    #   images, then perform `superbatch` sequential batch_size-sized
+    #   contrastive optimization steps inside one jit (lax.scan) — EXACT
+    #   reference step semantics (the trunk is frozen, so its features do not
+    #   depend on when they are computed), fewer per-step dispatch latencies.
+    #   Incompatible with trunk_train_mode_bn; ignored on the cached path.
 
 
 @dataclass(frozen=True)

@@ -84,6 +84,11 @@ class DamsmTrainer:
             raise ValueError(
                 "trunk_int8 quantizes the eval-mode trunk; batch-stat BN "
                 "(trunk_train_mode_bn) is not supported under int8")
+        if cfg.superbatch > 1 and cfg.trunk_train_mode_bn:
+            raise ValueError(
+                "superbatch amortizes ONE eval-mode trunk forward over "
+                "several steps; trunk_train_mode_bn needs per-step batch "
+                "stats — pick one")
         self._trunk_scales = None   # int8 activation scales, lazily calibrated
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         self.rnn = BiLSTMEncoder(vocab_size=vocab_size, emb_dim=cfg.text_emb_dim,
@@ -98,6 +103,10 @@ class DamsmTrainer:
         )
         self._cached_step_fn = jax.jit(
             functools.partial(_damsm_step_cached, self), donate_argnums=(0,)
+        )
+        self._super_step_fn = jax.jit(
+            functools.partial(_damsm_step_super, self), donate_argnums=(1,),
+            static_argnums=(0,),
         )
 
     # ---- init ----
@@ -138,6 +147,25 @@ class DamsmTrainer:
         if self.cfg.trunk_int8:
             scales = self._calibrate_trunk_int8(state, batch["img256"])
         return self._step_fn(scales, state, batch)
+
+    def train_step_super(self, state: DamsmState, batch):
+        """One jitted SUPERBATCH step (cfg.superbatch = K > 1): batch arrays
+        carry K*batch_size rows; the frozen trunk runs once at K*B and the
+        step performs K sequential B-sized contrastive updates in a
+        lax.scan — exact reference step semantics (the trunk receives no
+        gradient, so its features are identical whenever computed), one
+        dispatch instead of K. Metrics leaves come back with leading dim K
+        (one entry per inner step)."""
+        kb = batch["tokens"].shape[0]
+        if kb != self.cfg.superbatch * self.cfg.batch_size:
+            raise ValueError(
+                f"superbatch step expects {self.cfg.superbatch}x"
+                f"{self.cfg.batch_size} rows, got {kb}")
+        self.trunk_module()
+        scales = None
+        if self.cfg.trunk_int8:
+            scales = self._calibrate_trunk_int8(state, batch["img256"])
+        return self._super_step_fn(scales, state, batch)
 
     def _calibrate_trunk_int8(self, state: DamsmState, img256) -> tuple:
         """One-time activation-scale calibration for the int8 frozen-trunk
@@ -343,6 +371,38 @@ def _compute_damsm_loss(trainer, regions, cnn_code, word_embs, sent_embs,
     return total, parts
 
 
+def _eval_trunk_forward(trainer: DamsmTrainer, int8_scales,
+                        state: DamsmState, img256):
+    """Frozen EVAL-mode trunk forward (bf16 or int8), stop-gradiented and
+    region-flattened. Shared by the plain step and the superbatch step —
+    per-image math is batch-composition-independent (running-stat BN), so
+    one K*B forward equals K separate B forwards."""
+    trunk = trainer.trunk_module()
+    trunk_vars = {"params": state.cnn_trunk_params["trunk"]}
+    if state.cnn_stats:
+        trunk_vars["batch_stats"] = state.cnn_stats["trunk"]
+    if int8_scales is not None:
+        # Opt-in int8 frozen-trunk forward (cfg.trunk_int8): every Conv in
+        # the trunk runs as s8 x s8 -> s32 on the MXU with calibrated
+        # static activation scales. The trunk is frozen so the
+        # approximation is a fixed, documented embedding perturbation —
+        # not compounding training noise.
+        from attngan_tpu.infer.quantize import quantized_call
+
+        trunk_regions, trunk_pooled = quantized_call(
+            dict(int8_scales), trunk.apply, trunk_vars, img256, train=False,
+        )
+    else:
+        trunk_regions, trunk_pooled = trunk.apply(trunk_vars, img256,
+                                                  train=False)
+    b = trunk_regions.shape[0]
+    return (
+        jax.lax.stop_gradient(
+            trunk_regions.reshape(b, -1, trunk_regions.shape[-1])),
+        jax.lax.stop_gradient(trunk_pooled),
+    )
+
+
 def _damsm_step(trainer: DamsmTrainer, int8_scales, state: DamsmState,
                 batch: Dict[str, jax.Array]):
     key, k_drop = jax.random.split(state.key)
@@ -356,42 +416,28 @@ def _damsm_step(trainer: DamsmTrainer, int8_scales, state: DamsmState,
     # balloons the 21.6 ms step to 45 ms). Mathematically identical — the
     # trunk's params receive no gradient either way, and jax.grad of the
     # heads needs only the trunk's OUTPUT activations.
-    trunk = trainer.trunk_module()
-    trunk_vars = {"params": state.cnn_trunk_params["trunk"]}
-    if state.cnn_stats:
-        trunk_vars["batch_stats"] = state.cnn_stats["trunk"]
     if trainer.cfg.trunk_train_mode_bn:
         # Reproduce the reference's accidental quirk: the frozen trunk is
         # never put in eval() (no eval call anywhere in reference
         # pretrain_damsm.py:59-73), so its BN normalizes with BATCH stats
         # and keeps updating the running averages.
+        trunk = trainer.trunk_module()
+        trunk_vars = {"params": state.cnn_trunk_params["trunk"]}
+        if state.cnn_stats:
+            trunk_vars["batch_stats"] = state.cnn_stats["trunk"]
         (trunk_regions, trunk_pooled), mutated = trunk.apply(
             trunk_vars, batch["img256"], train=True, mutable=["batch_stats"],
         )
         new_stats = ({"trunk": mutated["batch_stats"]}
                      if state.cnn_stats else None)
-    elif int8_scales is not None:
-        # Opt-in int8 frozen-trunk forward (cfg.trunk_int8): every Conv in
-        # the trunk runs as s8 x s8 -> s32 on the MXU with calibrated
-        # static activation scales. The trunk is frozen so the
-        # approximation is a fixed, documented embedding perturbation —
-        # not compounding training noise.
-        from attngan_tpu.infer.quantize import quantized_call
-
-        trunk_regions, trunk_pooled = quantized_call(
-            dict(int8_scales), trunk.apply, trunk_vars, batch["img256"],
-            train=False,
-        )
-        new_stats = None
+        b = trunk_regions.shape[0]
+        trunk_regions = jax.lax.stop_gradient(
+            trunk_regions.reshape(b, -1, trunk_regions.shape[-1]))
+        trunk_pooled = jax.lax.stop_gradient(trunk_pooled)
     else:
-        trunk_regions, trunk_pooled = trunk.apply(
-            trunk_vars, batch["img256"], train=False,
-        )
+        trunk_regions, trunk_pooled = _eval_trunk_forward(
+            trainer, int8_scales, state, batch["img256"])
         new_stats = None
-    b = trunk_regions.shape[0]
-    trunk_regions = jax.lax.stop_gradient(
-        trunk_regions.reshape(b, -1, trunk_regions.shape[-1]))
-    trunk_pooled = jax.lax.stop_gradient(trunk_pooled)
 
     def loss_fn(trainable):
         word_embs, sent_embs = trainer.rnn.apply(
@@ -429,3 +475,50 @@ def _damsm_step_cached(trainer: DamsmTrainer, state: DamsmState,
         return total, (parts, None)
 
     return _damsm_update(trainer, state, key, loss_fn)
+
+
+def _damsm_step_super(trainer: DamsmTrainer, int8_scales, state: DamsmState,
+                      batch: Dict[str, jax.Array]):
+    """Superbatch step (cfg.superbatch = K): ONE frozen-trunk forward at
+    K*B images, then K sequential B-sized contrastive optimization steps in
+    a lax.scan. Mathematically identical to K reference-shaped steps over
+    the same K batches in order — the trunk is frozen and eval-mode, so its
+    per-image features do not depend on batch composition or on when they
+    are computed, and the scan body replays `_damsm_step`'s exact key
+    split / loss / clip / Adam sequence per chunk. What it saves is
+    per-step overhead: K-1 host dispatches and K-1 separate trunk program
+    launches (the trunk is latency-bound at B=64 — BENCH.md)."""
+    cfg = trainer.cfg
+    k = cfg.superbatch
+    kb = batch["tokens"].shape[0]
+    b = kb // k
+    regions, pooled = _eval_trunk_forward(trainer, int8_scales, state,
+                                          batch["img256"])
+    labels = jnp.arange(b)
+    xs = {
+        "tokens": batch["tokens"].reshape(k, b, -1),
+        "lengths": batch["lengths"].reshape(k, b),
+        "class_ids": batch["class_ids"].reshape(k, b),
+        "regions": regions.reshape(k, b, *regions.shape[1:]),
+        "pooled": pooled.reshape(k, b, *pooled.shape[1:]),
+    }
+
+    def body(st, chunk):
+        key, k_drop = jax.random.split(st.key)
+        mask = word_mask(chunk["lengths"], trainer.seq_len)
+
+        def loss_fn(trainable):
+            word_embs, sent_embs = trainer.rnn.apply(
+                {"params": trainable["rnn"]}, chunk["tokens"],
+                chunk["lengths"], train=True, rngs={"dropout": k_drop},
+            )
+            r, c = _apply_heads(trainable["cnn_heads"], chunk["regions"],
+                                chunk["pooled"])
+            total, parts = _compute_damsm_loss(trainer, r, c, word_embs,
+                                               sent_embs, labels, mask,
+                                               chunk["class_ids"])
+            return total, (parts, None)
+
+        return _damsm_update(trainer, st, key, loss_fn)
+
+    return jax.lax.scan(body, state, xs)

@@ -55,6 +55,21 @@ def _skip_batch(host_batch, batch_size: int) -> bool:
             or host_batch["tokens"].shape[0] < batch_size)
 
 
+def _group_superbatches(batches, k: int):
+    """Concatenate K consecutive host batches into one K*B superbatch
+    (cfg.superbatch; leftover groups of < K batches are dropped, like the
+    reference drops ragged batches). Grouping happens AFTER the degenerate-
+    batch skip, so the K inner steps are exactly the steps the plain loop
+    would have taken."""
+    group = []
+    for b in batches:
+        group.append(b)
+        if len(group) == k:
+            yield {key: np.concatenate([g[key] for g in group], axis=0)
+                   for key in group[0]}
+            group = []
+
+
 def run_damsm_training(
     cfg: DamsmConfig,
     run_cfg: RunConfig,
@@ -101,13 +116,28 @@ def run_damsm_training(
     profiler = StepWindowProfiler(
         os.path.join(run_cfg.checkpoint_dir, "profile_damsm"),
         enabled=run_cfg.profile)
+    superbatch = cfg.superbatch if cache is None else 1
     for epoch in range(1, cfg.epochs + 1):
         batches = (b for b in dataset.iter_batches(cfg.batch_size, seq_len,
                                                    seed=run_cfg.seed + epoch)
                    if not _skip_batch(b, cfg.batch_size))
+        if superbatch > 1:
+            batches = _group_superbatches(batches, superbatch)
         for batch in prefetch(batches, to_device):
             if cache is not None:
                 state, metrics = trainer.train_step_cached(state, batch)
+            elif superbatch > 1:
+                state, metrics = trainer.train_step_super(state, batch)
+                # metrics leaves carry one entry per inner step
+                for loss in np.asarray(metrics["loss"]):
+                    timer.tick()
+                    profiler.tick()
+                    history.append(float(loss))
+                if len(history) % run_cfg.log_every < superbatch:
+                    print(f"epoch {epoch} step {len(history)} "
+                          f"loss {history[-1]:.3f} "
+                          f"({timer.steps_per_sec:.2f} steps/s)")
+                continue
             else:
                 state, metrics = trainer.train_step(state, batch)
             timer.tick()

@@ -54,6 +54,11 @@ def parse_args():
                    help="precompute frozen-trunk region features once and "
                         "train against the cache (removes the Inception "
                         "forward from every step)")
+    p.add_argument("--superbatch", type=int, default=1,
+                   help="amortize the frozen trunk: run it once at "
+                        "superbatch*batch_size images, then do that many "
+                        "sequential batch_size contrastive steps inside "
+                        "one jit (exact step semantics, fewer dispatches)")
     p.add_argument("--trunk-int8", action="store_true",
                    help="run the frozen image trunk in int8 (MXU s8 convs; "
                         "activation scales calibrated on the first batch) — "
@@ -119,6 +124,7 @@ def main():
                       compute_dtype=args.compute_dtype,
                       cache_region_features=args.cache_features,
                       trunk_int8=args.trunk_int8,
+                      superbatch=args.superbatch,
                       trunk_train_mode_bn=args.trunk_train_mode_bn)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
                         image_dir=args.image_dir, profile=args.profile,

@@ -41,6 +41,19 @@ def test_damsm_loop_cached_features(tmp_path, run_cfg):
     assert len(history) == 2 and np.all(np.isfinite(history))
 
 
+def test_damsm_loop_superbatch(tmp_path, run_cfg):
+    """cfg.superbatch=2 through the host loop: 4 batches/epoch group into
+    2 superbatch steps whose per-chunk metrics unroll back into a per-step
+    history identical in length to the plain loop's."""
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=2, epochs=1,
+                      image_encoder="tiny", compute_dtype="", superbatch=2)
+    ds = make_synthetic_dataset(num_images=8, num_classes=2, res=64)
+    _, state, history = run_damsm_training(cfg, run_cfg, ds)
+    assert len(history) == 4  # 4 B-batches -> 2 superbatches -> 4 steps
+    assert np.all(np.isfinite(history))
+    assert int(state.step) == 4
+
+
 def test_gan_loop_end_to_end(tmp_path, run_cfg):
     cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
                     seq_len=4, batch_size=4, epochs=1, num_stages=2,

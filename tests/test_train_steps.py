@@ -278,3 +278,71 @@ def test_cache_features_rejects_train_mode_bn():
         cache_region_features=True, trunk_train_mode_bn=True)
     with pytest.raises(ValueError, match="step-invariant"):
         DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=32)
+
+
+def test_damsm_superbatch_exact_parity(rng):
+    """cfg.superbatch=K must be EXACTLY K sequential plain steps: one
+    frozen eval-mode trunk forward at K*B cannot change per-image features,
+    and the scan body replays the same key-split/loss/clip/Adam sequence
+    (damsm_trainer._damsm_step_super)."""
+    k = 3
+    cfg = DamsmConfig(emb_dim=32, text_emb_dim=16, batch_size=B,
+                      image_encoder="tiny", compute_dtype="")
+    cfg_super = DamsmConfig(emb_dim=32, text_emb_dim=16, batch_size=B,
+                            image_encoder="tiny", compute_dtype="",
+                            superbatch=k)
+    plain = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    superb = DamsmTrainer(cfg_super, vocab_size=VOCAB, seq_len=L, image_res=64)
+    state_p = plain.init_state(seed=0)
+    state_s = superb.init_state(seed=0)
+
+    batches = []
+    for i in range(k):
+        r = np.random.default_rng(100 + i)
+        batches.append({
+            "tokens": jnp.asarray(r.integers(0, VOCAB, (B, L)), jnp.int32),
+            "lengths": jnp.asarray(r.integers(2, L + 1, (B,)), jnp.int32),
+            "class_ids": jnp.asarray(np.arange(B), jnp.int32),
+            "img256": jnp.asarray(
+                r.standard_normal((B, 64, 64, 3)), jnp.float32) * 0.5,
+        })
+
+    losses_p = []
+    for b in batches:
+        state_p, metrics = plain.train_step(state_p, b)
+        losses_p.append(float(metrics["loss"]))
+
+    superbatch = {key: jnp.concatenate([b[key] for b in batches], axis=0)
+                  for key in batches[0]}
+    state_s, metrics_s = superb.train_step_super(state_s, superbatch)
+
+    assert metrics_s["loss"].shape == (k,)
+    np.testing.assert_allclose(np.asarray(metrics_s["loss"]), losses_p,
+                               rtol=1e-5)
+    assert int(state_s.step) == k == int(state_p.step)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state_p.rnn_params),
+                     jax.tree_util.tree_leaves(state_s.rnn_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state_p.cnn_head_params),
+                     jax.tree_util.tree_leaves(state_s.cnn_head_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_damsm_superbatch_rejects_train_mode_bn():
+    with pytest.raises(ValueError, match="superbatch"):
+        DamsmTrainer(
+            DamsmConfig(emb_dim=32, text_emb_dim=16, batch_size=B,
+                        image_encoder="tiny", compute_dtype="",
+                        superbatch=2, trunk_train_mode_bn=True),
+            vocab_size=VOCAB, seq_len=L, image_res=64)
+
+
+def test_damsm_superbatch_rejects_wrong_rows(rng):
+    cfg = DamsmConfig(emb_dim=32, text_emb_dim=16, batch_size=B,
+                      image_encoder="tiny", compute_dtype="", superbatch=2)
+    trainer = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64)
+    state = trainer.init_state(seed=0)
+    with pytest.raises(ValueError, match="rows"):
+        trainer.train_step_super(state, _damsm_batch(rng))  # B, not 2*B
