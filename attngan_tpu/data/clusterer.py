@@ -10,9 +10,10 @@ class_id used by the DAMSM mismatch masks.
 Reducers: the reference reduces with UMAP (bedrooms.py:274-276).
 ``reducer='umap'`` uses umap-learn if installed, else the NATIVE UMAP
 implementation in attngan_tpu/data/umap_native.py (same algorithm from the
-paper's math). ``'auto'`` stays pca — the measured default on real
-photographs (docs/cluster_quality_photos/). sklearn SpectralEmbedding and
-t-SNE remain as alternates. Reducer impact on cluster quality is
+paper's math). ``'auto'`` resolves to pca — the measured, deterministic
+default on real photographs (docs/cluster_quality_photos/: pca beats every
+nonlinear reducer's ARI there, UMAP included). sklearn SpectralEmbedding
+and t-SNE remain as alternates. Reducer impact on cluster quality is
 measurable with tools/cluster_quality_run.py (ARI vs known factors).
 sklearn's AgglomerativeClustering dropped the ``affinity`` kwarg in favor
 of ``metric`` — handled for both API generations.
@@ -64,24 +65,22 @@ def _reduce_dimensionality(x: np.ndarray, outdims: int,
     """reducer: 'umap' (the reference's choice — umap-learn if installed,
     else the native implementation in umap_native.py), 'pca', 'spectral'
     (neighbor-graph nonlinear embedding), 'tsne' (capped at 3 components
-    by sklearn's barnes-hut), or 'auto' = umap-learn if importable else
-    pca (the measured real-photo default)."""
-    if reducer in ("auto", "umap"):
+    by sklearn's barnes-hut), or 'auto' = pca: the measured, deterministic
+    default on real photographs (docs/cluster_quality_photos/ — pca beats
+    every nonlinear reducer's ARI there, including UMAP itself)."""
+    if reducer == "auto":
+        reducer = "pca"
+    if reducer == "umap":
         try:
             from umap import UMAP  # reference reducer (bedrooms.py:274-276)
 
             return UMAP(n_components=outdims).fit_transform(x)
         except ImportError:
-            if reducer == "umap":
-                # umap-learn absent: use the native implementation of the
-                # same algorithm (attngan_tpu/data/umap_native.py).
-                from attngan_tpu.data.umap_native import umap_embed
+            # umap-learn absent: use the native implementation of the
+            # same algorithm (attngan_tpu/data/umap_native.py).
+            from attngan_tpu.data.umap_native import umap_embed
 
-                return umap_embed(x, n_components=outdims)
-            # 'auto' stays pca: the measured default on real photographs
-            # (docs/cluster_quality_photos/ — pca matches the nonlinear
-            # reducers' ARI, deterministically, at full latent width).
-            reducer = "pca"
+            return umap_embed(x, n_components=outdims)
     if reducer == "tsne":
         from sklearn.manifold import TSNE
 

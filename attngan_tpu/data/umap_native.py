@@ -275,6 +275,15 @@ def umap_embed(
             f"need more than {n_components + 2} samples to embed to "
             f"{n_components} dims, got {n}"
         )
+    if n > 20_000:
+        # This implementation uses EXACT kNN (O(N^2 D)) and a numpy-level
+        # epoch loop — correct at any size but built for the captioner's
+        # corpus scale (hundreds to tens of thousands of images). Point
+        # very large corpora at umap-learn (approximate NN, compiled
+        # inner loop) or reducer='pca'.
+        print(f"umap_native: N={n} is large for the exact-kNN native "
+              "implementation; expect minutes-scale runtime (umap-learn "
+              "or reducer='pca' are the fast paths)")
     n_neighbors = min(n_neighbors, n - 1)
     rng = np.random.default_rng(random_state)
     rows, cols, vals = fuzzy_simplicial_set(x, n_neighbors)

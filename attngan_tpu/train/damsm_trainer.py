@@ -326,6 +326,28 @@ def _apply_heads(head_params, trunk_regions, trunk_pooled):
     return regions.astype(jnp.float32), code.astype(jnp.float32)
 
 
+def _make_loss_fn(trainer: DamsmTrainer, tokens, lengths, class_ids,
+                  trunk_regions, trunk_pooled, labels, mask, k_drop,
+                  new_stats=None):
+    """The differentiated tail shared by all three step variants (plain /
+    cached / superbatch): train-mode RNN forward + trainable heads over
+    the (stop-gradiented or cached) trunk features + the DAMSM loss."""
+
+    def loss_fn(trainable):
+        word_embs, sent_embs = trainer.rnn.apply(
+            {"params": trainable["rnn"]}, tokens, lengths,
+            train=True, rngs={"dropout": k_drop},
+        )
+        regions, cnn_code = _apply_heads(trainable["cnn_heads"],
+                                         trunk_regions, trunk_pooled)
+        total, parts = _compute_damsm_loss(trainer, regions, cnn_code,
+                                           word_embs, sent_embs, labels,
+                                           mask, class_ids)
+        return total, (parts, new_stats)
+
+    return loss_fn
+
+
 def _damsm_update(trainer: DamsmTrainer, state: DamsmState, key, loss_fn):
     """Shared grad/clip/Adam tail of both step variants. ``loss_fn`` returns
     (loss, (parts, new_cnn_stats_or_None)) — train-mode trunk BN threads its
@@ -439,19 +461,9 @@ def _damsm_step(trainer: DamsmTrainer, int8_scales, state: DamsmState,
             trainer, int8_scales, state, batch["img256"])
         new_stats = None
 
-    def loss_fn(trainable):
-        word_embs, sent_embs = trainer.rnn.apply(
-            {"params": trainable["rnn"]}, batch["tokens"], batch["lengths"],
-            train=True, rngs={"dropout": k_drop},
-        )
-        regions, cnn_code = _apply_heads(trainable["cnn_heads"],
-                                         trunk_regions, trunk_pooled)
-        total, parts = _compute_damsm_loss(trainer, regions, cnn_code,
-                                           word_embs, sent_embs, labels, mask,
-                                           batch["class_ids"])
-        return total, (parts, new_stats)
-
-    return _damsm_update(trainer, state, key, loss_fn)
+    return _damsm_update(trainer, state, key, _make_loss_fn(
+        trainer, batch["tokens"], batch["lengths"], batch["class_ids"],
+        trunk_regions, trunk_pooled, labels, mask, k_drop, new_stats))
 
 
 def _damsm_step_cached(trainer: DamsmTrainer, state: DamsmState,
@@ -462,19 +474,9 @@ def _damsm_step_cached(trainer: DamsmTrainer, state: DamsmState,
     trunk_regions = batch["trunk_regions"].astype(jnp.float32)
     trunk_pooled = batch["trunk_pooled"].astype(jnp.float32)
 
-    def loss_fn(trainable):
-        word_embs, sent_embs = trainer.rnn.apply(
-            {"params": trainable["rnn"]}, batch["tokens"], batch["lengths"],
-            train=True, rngs={"dropout": k_drop},
-        )
-        regions, cnn_code = _apply_heads(trainable["cnn_heads"],
-                                         trunk_regions, trunk_pooled)
-        total, parts = _compute_damsm_loss(trainer, regions, cnn_code,
-                                           word_embs, sent_embs, labels, mask,
-                                           batch["class_ids"])
-        return total, (parts, None)
-
-    return _damsm_update(trainer, state, key, loss_fn)
+    return _damsm_update(trainer, state, key, _make_loss_fn(
+        trainer, batch["tokens"], batch["lengths"], batch["class_ids"],
+        trunk_regions, trunk_pooled, labels, mask, k_drop))
 
 
 def _damsm_step_super(trainer: DamsmTrainer, int8_scales, state: DamsmState,
@@ -506,19 +508,8 @@ def _damsm_step_super(trainer: DamsmTrainer, int8_scales, state: DamsmState,
     def body(st, chunk):
         key, k_drop = jax.random.split(st.key)
         mask = word_mask(chunk["lengths"], trainer.seq_len)
-
-        def loss_fn(trainable):
-            word_embs, sent_embs = trainer.rnn.apply(
-                {"params": trainable["rnn"]}, chunk["tokens"],
-                chunk["lengths"], train=True, rngs={"dropout": k_drop},
-            )
-            r, c = _apply_heads(trainable["cnn_heads"], chunk["regions"],
-                                chunk["pooled"])
-            total, parts = _compute_damsm_loss(trainer, r, c, word_embs,
-                                               sent_embs, labels, mask,
-                                               chunk["class_ids"])
-            return total, (parts, None)
-
-        return _damsm_update(trainer, st, key, loss_fn)
+        return _damsm_update(trainer, st, key, _make_loss_fn(
+            trainer, chunk["tokens"], chunk["lengths"], chunk["class_ids"],
+            chunk["regions"], chunk["pooled"], labels, mask, k_drop))
 
     return jax.lax.scan(body, state, xs)

@@ -57,17 +57,26 @@ def _skip_batch(host_batch, batch_size: int) -> bool:
 
 def _group_superbatches(batches, k: int):
     """Concatenate K consecutive host batches into one K*B superbatch
-    (cfg.superbatch; leftover groups of < K batches are dropped, like the
-    reference drops ragged batches). Grouping happens AFTER the degenerate-
-    batch skip, so the K inner steps are exactly the steps the plain loop
-    would have taken."""
-    group = []
+    (cfg.superbatch; a leftover group of < K batches at epoch end is
+    dropped, like the reference drops ragged batches). Grouping happens
+    AFTER the degenerate-batch skip, so the K inner steps are exactly the
+    steps the plain loop would have taken. Warns when batches are dropped
+    — and an epoch with fewer than K valid batches would otherwise train
+    ZERO steps silently."""
+    group, yielded = [], 0
     for b in batches:
         group.append(b)
         if len(group) == k:
             yield {key: np.concatenate([g[key] for g in group], axis=0)
                    for key in group[0]}
             group = []
+            yielded += 1
+    if group:
+        print(f"superbatch={k}: dropped {len(group)} leftover batch(es) "
+              f"this epoch ({yielded} superbatch steps ran)"
+              + ("" if yielded else
+                 " — the epoch trained ZERO steps; lower --superbatch or "
+                 "add data"))
 
 
 def run_damsm_training(
@@ -117,6 +126,13 @@ def run_damsm_training(
         os.path.join(run_cfg.checkpoint_dir, "profile_damsm"),
         enabled=run_cfg.profile)
     superbatch = cfg.superbatch if cache is None else 1
+    if superbatch > 1:
+        per_epoch = len(dataset.records) // cfg.batch_size
+        if per_epoch < superbatch:
+            raise ValueError(
+                f"superbatch={superbatch} needs at least {superbatch} full "
+                f"batches per epoch; this dataset yields at most {per_epoch}"
+                f" (batch_size={cfg.batch_size})")
     for epoch in range(1, cfg.epochs + 1):
         batches = (b for b in dataset.iter_batches(cfg.batch_size, seq_len,
                                                    seed=run_cfg.seed + epoch)
@@ -128,11 +144,13 @@ def run_damsm_training(
                 state, metrics = trainer.train_step_cached(state, batch)
             elif superbatch > 1:
                 state, metrics = trainer.train_step_super(state, batch)
-                # metrics leaves carry one entry per inner step
-                for loss in np.asarray(metrics["loss"]):
-                    timer.tick()
-                    profiler.tick()
-                    history.append(float(loss))
+                # One DEVICE dispatch carrying K optimization steps: the
+                # timer counts all K (warmup excludes the whole compile
+                # dispatch), the profiler window counts dispatches, and
+                # the history unrolls the per-step metrics.
+                timer.tick(superbatch)
+                profiler.tick()
+                history.extend(float(l) for l in np.asarray(metrics["loss"]))
                 if len(history) % run_cfg.log_every < superbatch:
                     print(f"epoch {epoch} step {len(history)} "
                           f"loss {history[-1]:.3f} "

@@ -141,17 +141,25 @@ def device_timeit(fn: Callable, *args, iters: int = 20, warmup: int = 3,
 
 
 class StepTimer:
-    """Rolling steps/sec with an initial warmup skip (compile step)."""
+    """Rolling steps/sec with an initial warmup skip (compile step).
+
+    ``tick(n)`` records one completed DEVICE dispatch that performed ``n``
+    optimization steps (n > 1 under DAMSM ``superbatch``). Warmup is
+    consumed per dispatch — the whole compile dispatch is excluded from the
+    clock regardless of how many inner steps it carried."""
 
     def __init__(self, warmup: int = 1):
         self.warmup = warmup
         self.count = -warmup
         self.start = None
 
-    def tick(self) -> None:
-        self.count += 1
-        if self.count == 0:
-            self.start = time.perf_counter()
+    def tick(self, n: int = 1) -> None:
+        if self.count < 0:
+            self.count += 1
+            if self.count == 0:
+                self.start = time.perf_counter()
+            return
+        self.count += n
 
     @property
     def steps_per_sec(self) -> float:

@@ -47,8 +47,9 @@ def parse_args():
                             "agglomerative_complete"])
     p.add_argument("--reducer", default="pca",
                    choices=["auto", "umap", "pca", "spectral", "tsne"],
-                   help="spectral = sklearn neighbor-graph embedding, the "
-                        "closest available analog to the reference's UMAP")
+                   help="umap = umap-learn if installed else the native "
+                        "implementation (data/umap_native.py); auto = pca, "
+                        "the measured real-photo default")
     p.add_argument("--embedder-weights", default="",
                    help="converted resnet18 msgpack "
                         "(tools/convert_torch_weights.py); default random init")
