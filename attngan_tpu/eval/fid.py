@@ -44,8 +44,14 @@ class FIDEvaluator:
     """Computes FID between two image sets in [-1, 1] NHWC.
 
     feature_fn: images -> (N, D) features. Defaults to the InceptionV3Trunk
-    pooled output (pass converted-torchvision variables for standard FID;
-    random-init features still give a self-consistent relative metric).
+    pooled output. Pass converted-torchvision variables for standard FID;
+    without them the random-init trunk's BatchNorm running stats are
+    CALIBRATED on seeded noise first — in raw eval mode the default (0, 1)
+    stats mismatch the random convs' activation scale, the signal decays
+    ~0.5x per block, and the pooled features collapse to a near-constant
+    (measured std ~3e-4, per-image spread ~1e-6: FID of anything vs
+    anything reads ~0). Calibrated random features are a self-consistent
+    relative metric; absolute FID still needs real weights.
     """
 
     def __init__(self, feature_fn: Optional[Callable] = None,
@@ -53,13 +59,34 @@ class FIDEvaluator:
                  seed: int = 0):
         self.batch_size = batch_size
         if feature_fn is None:
-            from attngan_tpu.models.cnn_encoder import InceptionV3Trunk
+            from attngan_tpu.models.cnn_encoder import BN_MOMENTUM, InceptionV3Trunk
 
             trunk = InceptionV3Trunk(dtype=jnp.bfloat16)
             if variables is None:
                 variables = trunk.init(
                     jax.random.key(seed), jnp.zeros((1, 64, 64, 3)),
                     train=False)
+                params = variables["params"]
+                stats = variables["batch_stats"]
+                calib = jax.random.uniform(
+                    jax.random.key(seed + 1), (16, 128, 128, 3),
+                    minval=-1.0, maxval=1.0)
+
+                @jax.jit
+                def batch_stats_of(stats, x):
+                    _, mut = trunk.apply(
+                        {"params": params, "batch_stats": stats}, x,
+                        train=True, mutable=["batch_stats"])
+                    return mut["batch_stats"]
+
+                for _ in range(2):
+                    new = batch_stats_of(stats, calib)
+                    # Invert the EMA (new = m*old + (1-m)*batch) to SET the
+                    # running stats to the calibration batch's stats.
+                    stats = jax.tree_util.tree_map(
+                        lambda n, o: (n - BN_MOMENTUM * o) / (1 - BN_MOMENTUM),
+                        new, stats)
+                variables = {"params": params, "batch_stats": stats}
             fwd = jax.jit(lambda x: trunk.apply(variables, x, train=False)[1]
                           .astype(jnp.float32))
             feature_fn = fwd

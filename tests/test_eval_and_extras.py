@@ -39,6 +39,28 @@ def test_fid_evaluator_orders_similarity(rng):
     assert ev.fid(real, near) < ev.fid(real, far)
 
 
+def test_fid_default_featurizer_is_discriminative(rng):
+    """The DEFAULT (random-init trunk) featurizer must produce non-constant
+    features and a discriminative FID. Regression: in raw eval mode the
+    (0,1) BN running stats let the signal decay ~0.5x per block and the
+    pooled features collapsed to a constant (std ~3e-4), so EVERY FID read
+    ~0 — FIDEvaluator now calibrates the stats on seeded noise at init."""
+    import pytest
+
+    pytest.importorskip("scipy")
+    from attngan_tpu.eval.fid import FIDEvaluator
+
+    ev = FIDEvaluator(batch_size=8)
+    a1 = rng.uniform(-1, 1, (16, 64, 64, 3)).astype(np.float32)
+    a2 = rng.uniform(-1, 1, (16, 64, 64, 3)).astype(np.float32)
+    b = (rng.uniform(-1, 1, (16, 64, 64, 3)) * 0.2 - 0.5).astype(np.float32)
+    feats = ev.features(a1)
+    assert float(feats.std()) > 0.1, "featurizer collapsed to a constant"
+    assert float(np.std(feats.mean(axis=1))) > 1e-3, "no per-image signal"
+    same, diff = ev.fid(a1, a2), ev.fid(a1, b)
+    assert diff > 20 * same, f"not discriminative: same={same} diff={diff}"
+
+
 def test_int8_vs_bf16_fid_harness(rng):
     """int8 serving-tier quality delta in FID units (VERDICT r2 #8): the
     harness samples the same batch through the float and int8 samplers and
