@@ -37,8 +37,10 @@ def parse_args():
     p.add_argument("--latent-dims", type=int, default=128)
     p.add_argument("--reducer", default="auto",
                    choices=["auto", "umap", "pca", "spectral", "tsne"],
-                   help="embedding reducer before clustering (reference "
-                        "uses UMAP; spectral is the sklearn analog)")
+                   help="embedding reducer before clustering; umap = "
+                        "umap-learn if installed else the native "
+                        "implementation (data/umap_native.py); auto = pca, "
+                        "the measured real-photo default")
     p.add_argument("--min-clusters", type=int, default=5)
     p.add_argument("--max-vocab-size", type=int, default=1000)
     p.add_argument("--epochs", type=int, default=30)
