@@ -185,3 +185,39 @@ def test_sharded_inference(rng):
     imgs = sampler.generate_from_tokens(batch["tokens"], batch["lengths"],
                                         jax.random.key(0))
     assert imgs.shape == (B, 128, 128, 3)
+
+
+def test_damsm_superbatch_sharded_matches_sequential(rng):
+    """Superbatch K=2 on the 8-device mesh (sharded explicit-collective
+    loss INSIDE the lax.scan body) == 2 sequential sharded steps. Guards
+    the kernel/shard_map loss composition under scan."""
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=B,
+                      image_encoder="tiny", compute_dtype="")
+    cfg_super = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=B,
+                            image_encoder="tiny", compute_dtype="",
+                            superbatch=2)
+    mesh = make_mesh()
+    plain = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64,
+                         mesh=mesh)
+    superb = DamsmTrainer(cfg_super, vocab_size=VOCAB, seq_len=L,
+                          image_res=64, mesh=mesh)
+    assert superb.sharded_loss is not None
+    state_p = replicate(plain.init_state(seed=0), mesh)
+    state_s = replicate(superb.init_state(seed=0), mesh)
+
+    b1 = shard_batch(_batch(rng, ["img256"]), mesh)
+    b2 = shard_batch(_batch(rng, ["img256"]), mesh)
+    losses = []
+    for b in (b1, b2):
+        state_p, m = plain.train_step(state_p, b)
+        losses.append(float(m["loss"]))
+
+    superbatch = shard_batch(
+        {k: jnp.concatenate([b1[k], b2[k]], axis=0) for k in b1}, mesh)
+    state_s, m_s = superb.train_step_super(state_s, superbatch)
+
+    np.testing.assert_allclose(np.asarray(m_s["loss"]), losses, rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state_p.rnn_params),
+                     jax.tree_util.tree_leaves(state_s.rnn_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
