@@ -13,10 +13,13 @@ Method (classic symmetric post-training quantization):
   inference; XLA folds the quantization of a frozen param into a cheap
   prologue — no separate quantized checkpoint format needed).
 * **Activations**: per-tensor symmetric int8 with STATIC scales, calibrated
-  by ONE jitted forward that records max|x| at every Conv/Dense input via a
-  flax method interceptor (`nn.intercept_methods`) — the recorded maxima are
-  traced scalars returned from the jit, so calibration runs on-device at
-  full speed even through a remote tunnel.
+  by ONE jitted forward that records a percentile of |x| (default p99 —
+  measured 3-8x better than pure max on trained checkpoints, whose rare
+  activation spikes otherwise stretch the grid away from the bulk; see
+  BENCH.md) at every Conv/Dense input via a flax method interceptor
+  (`nn.intercept_methods`) — the recorded scales are traced scalars
+  returned from the jit, so calibration runs on-device at full speed even
+  through a remote tunnel.
 * Convs/matmuls execute as s8 x s8 -> s32 MXU ops
   (``preferred_element_type=int32``); BN, GLU, attention, softmax, tanh and
   every other elementwise op stay in the float compute dtype.
@@ -52,7 +55,19 @@ def _is_quantizable(module: nn.Module) -> bool:
     return False
 
 
-def _collecting_interceptor(records: Dict[str, jax.Array]):
+def _abs_percentile(x: jax.Array, pct: float) -> jax.Array:
+    """Approximate pct-th percentile of |x| via a 2048-bin histogram —
+    one pass, jit-safe on activation tensors too large to sort."""
+    absx = jnp.abs(x.astype(jnp.float32)).ravel()
+    mx = jnp.max(absx)
+    hist, _ = jnp.histogram(absx, bins=2048, range=(0.0, mx))
+    cdf = jnp.cumsum(hist) / absx.size
+    idx = jnp.searchsorted(cdf, pct / 100.0)
+    return mx * (idx + 1).astype(jnp.float32) / 2048.0
+
+
+def _collecting_interceptor(records: Dict[str, jax.Array],
+                            percentile: float = 100.0):
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if (_is_quantizable(m) and args
@@ -60,7 +75,15 @@ def _collecting_interceptor(records: Dict[str, jax.Array]):
             # a module applied more than once per forward calibrates from
             # the max over ALL its call sites, not just the last one
             path = _path_of(m)
-            mx = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+            if percentile >= 100.0:
+                mx = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+            else:
+                # clip calibration outliers: on trained generators the
+                # per-tensor max is dominated by rare spikes, which
+                # coarsens the quantization grid for the bulk (measured:
+                # mean |image delta| 0.103 at max-calibration on a
+                # trained checkpoint vs 1e-4 at random init)
+                mx = _abs_percentile(jnp.asarray(args[0]), percentile)
             prev = records.get(path)
             records[path] = mx if prev is None else jnp.maximum(prev, mx)
         return next_fun(*args, **kwargs)
@@ -130,14 +153,17 @@ def _quantizing_interceptor(act_scales: Dict[str, float],
     return interceptor
 
 
-def calibrate(apply_fn, *args, **kwargs):
+def calibrate(apply_fn, *args, calib_percentile: float = 100.0, **kwargs):
     """Run ``apply_fn(*args, **kwargs)`` under a recording interceptor.
 
-    Returns (output, {module_path: max_abs_input}) where the maxima are
+    Returns (output, {module_path: abs_input_scale}) where the scales are
     jax scalars — safe to call inside jit; float() them outside.
+    ``calib_percentile`` < 100 clips calibration outliers (see
+    _collecting_interceptor).
     """
     records: Dict[str, jax.Array] = {}
-    with nn.intercept_methods(_collecting_interceptor(records)):
+    with nn.intercept_methods(
+            _collecting_interceptor(records, calib_percentile)):
         out = apply_fn(*args, **kwargs)
     return out, records
 
@@ -157,13 +183,21 @@ class Int8Sampler:
     quantized jitted sampler.
     """
 
-    def __init__(self, trainer, state, skip: Iterable[str] = ()):
+    def __init__(self, trainer, state, skip: Iterable[str] = (),
+                 percentile: float = 99.0):
+        # percentile=99.0 is the measured default (BENCH.md, trained
+        # full-scale checkpoint): vs max-calibration it cuts mean |image
+        # delta| 0.103 -> 0.034 and the int8-vs-float FID shift 7.9x
+        # (1,071,537 -> 136,478) — trained generators have rare activation
+        # spikes that stretch a max-calibrated grid away from the bulk.
+        # percentile=100.0 restores pure max calibration.
         from attngan_tpu.infer.sampler import as_infer_state, denormalize
         from attngan_tpu.data.dataset import word_mask
 
         self.trainer = trainer
         self.state = as_infer_state(state)
         self.skip = tuple(skip)
+        self.percentile = percentile
         self.act_scales: Dict[str, float] | None = None
 
         cfg = trainer.cfg
@@ -184,7 +218,8 @@ class Int8Sampler:
         def _calib_fn(state, tokens, lengths, key):
             (fakes, _, _, _), records = _body(
                 state, tokens, lengths, key,
-                lambda fn, *a, **kw: calibrate(fn, *a, **kw))
+                lambda fn, *a, **kw: calibrate(
+                    fn, *a, calib_percentile=self.percentile, **kw))
             return denormalize(fakes[-1]), records
 
         self._calib_fn = _calib_fn

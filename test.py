@@ -51,6 +51,11 @@ def parse_args():
     p.add_argument("--fused-upsample", action="store_true",
                    help="Pallas eval UpBlock kernel (measured slower than "
                         "the default dilated-conv form; see BENCH.md)")
+    p.add_argument("--int8-percentile", type=float, default=99.0,
+                   help="int8 activation-scale calibration percentile "
+                        "(100 = pure max; 99 is the measured default — "
+                        "clips the rare activation spikes that otherwise "
+                        "coarsen the quantization grid, BENCH.md)")
     p.add_argument("--int8", action="store_true",
                    help="serve the generator via post-training int8 "
                         "quantization (infer/quantize.py); calibrates "
@@ -137,7 +142,8 @@ def main():
     if args.int8:
         from attngan_tpu.infer.quantize import Int8Sampler
 
-        int8_sampler = Int8Sampler(trainer, state)
+        int8_sampler = Int8Sampler(trainer, state,
+                                   percentile=args.int8_percentile)
         gen_fn = int8_sampler.generate_from_tokens
 
     if args.benchmark:
