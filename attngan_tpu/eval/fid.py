@@ -79,13 +79,15 @@ class FIDEvaluator:
                         train=True, mutable=["batch_stats"])
                     return mut["batch_stats"]
 
-                for _ in range(2):
-                    new = batch_stats_of(stats, calib)
-                    # Invert the EMA (new = m*old + (1-m)*batch) to SET the
-                    # running stats to the calibration batch's stats.
-                    stats = jax.tree_util.tree_map(
-                        lambda n, o: (n - BN_MOMENTUM * o) / (1 - BN_MOMENTUM),
-                        new, stats)
+                # ONE pass reaches the fixed point: train-mode BN
+                # normalizes with the batch's own stats, so the mutated
+                # running stats are independent of the stats passed in.
+                # Invert the EMA (new = m*old + (1-m)*batch) to SET the
+                # running stats to the calibration batch's stats.
+                new = batch_stats_of(stats, calib)
+                stats = jax.tree_util.tree_map(
+                    lambda n, o: (n - BN_MOMENTUM * o) / (1 - BN_MOMENTUM),
+                    new, stats)
                 variables = {"params": params, "batch_stats": stats}
             fwd = jax.jit(lambda x: trunk.apply(variables, x, train=False)[1]
                           .astype(jnp.float32))
@@ -113,7 +115,8 @@ class FIDEvaluator:
 
 def int8_vs_bf16_fid(trainer, state, tokens, lengths, key,
                      real_images: Optional[np.ndarray] = None,
-                     evaluator: Optional["FIDEvaluator"] = None) -> dict:
+                     evaluator: Optional["FIDEvaluator"] = None,
+                     int8_percentile: float = 99.0) -> dict:
     """Quality delta of the int8 serving tier, in FID units.
 
     Samples the SAME (tokens, lengths, key) batch through the float
@@ -136,7 +139,8 @@ def int8_vs_bf16_fid(trainer, state, tokens, lengths, key,
     float_imgs = np.asarray(
         Sampler(trainer, state).generate_from_tokens(tokens, lengths, key))
     int8_imgs = np.asarray(
-        Int8Sampler(trainer, state).generate_from_tokens(tokens, lengths, key))
+        Int8Sampler(trainer, state, percentile=int8_percentile)
+        .generate_from_tokens(tokens, lengths, key))
     to_trunk = lambda x: x.astype(np.float32) * 2.0 - 1.0
     out = {"fid_int8_vs_float": evaluator.fid(to_trunk(float_imgs),
                                               to_trunk(int8_imgs))}

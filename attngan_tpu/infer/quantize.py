@@ -57,11 +57,19 @@ def _is_quantizable(module: nn.Module) -> bool:
 
 def _abs_percentile(x: jax.Array, pct: float) -> jax.Array:
     """Approximate pct-th percentile of |x| via a 2048-bin histogram —
-    one pass, jit-safe on activation tensors too large to sort."""
+    one pass, jit-safe on activation tensors too large to sort.
+
+    Counts are accumulated in INT32, not via jnp.histogram: its float32
+    ones-weights scatter-add saturates at 2^24 per bin, so on the very
+    tensors this exists for (hundreds of millions of elements crowded
+    into a few low bins of a spike-stretched range) the cdf never reaches
+    pct and the 'percentile' silently degrades to the max."""
     absx = jnp.abs(x.astype(jnp.float32)).ravel()
     mx = jnp.max(absx)
-    hist, _ = jnp.histogram(absx, bins=2048, range=(0.0, mx))
-    cdf = jnp.cumsum(hist) / absx.size
+    bins = jnp.clip((absx / jnp.maximum(mx, 1e-30) * 2048.0).astype(jnp.int32),
+                    0, 2047)
+    hist = jnp.zeros((2048,), jnp.int32).at[bins].add(1)
+    cdf = jnp.cumsum(hist).astype(jnp.float32) / absx.size
     idx = jnp.searchsorted(cdf, pct / 100.0)
     return mx * (idx + 1).astype(jnp.float32) / 2048.0
 

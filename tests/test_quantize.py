@@ -232,3 +232,20 @@ def test_percentile_calibration_reduces_spiky_input_error(rng):
         {k: float(v) for k, v in rec.items()}, net.apply, variables, x)[1]
         - ref[1])))
     assert err(rec_pct) < err(rec_max)
+
+
+def test_abs_percentile_no_float32_count_saturation():
+    """Regression: jnp.histogram's float32 ones-weights scatter-add
+    saturates at 2^24 per bin, so a >16.7M-element bulk crowded into one
+    bin of a spike-stretched range made the cdf never reach pct and the
+    'percentile' degraded to (above) the max — exactly at the production
+    scale the feature exists for. Counts are now int32."""
+    from attngan_tpu.infer.quantize import _abs_percentile
+
+    n = 20_000_000  # > 2^24 elements in one bin
+    x = np.full((n,), 0.001, np.float32)
+    x[0] = 1000.0
+    got = float(_abs_percentile(jnp.asarray(x), 99.0))
+    assert got < 1.0, f"percentile saturated back to the max: {got}"
+    # bulk value is inside the first bin of [0, 1000]: edge 1000/2048
+    assert got <= 1000.0 / 2048.0 + 1e-3

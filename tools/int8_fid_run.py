@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--n", type=int, default=64, help="images per arm")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--feature-batch", type=int, default=32)
+    p.add_argument("--int8-percentile", type=float, default=99.0,
+                   help="int8 activation-scale calibration percentile "
+                        "(100 = pure max; 99 = measured default) — "
+                        "reproduces BENCH.md's calibration comparison")
     return p.parse_args()
 
 
@@ -82,7 +86,8 @@ def main():
     ev = FIDEvaluator(batch_size=args.feature_batch)
     out = int8_vs_bf16_fid(trainer, state, tokens, lengths,
                            jax.random.key(args.seed), real_images=real,
-                           evaluator=ev)
+                           evaluator=ev,
+                           int8_percentile=args.int8_percentile)
     print(json.dumps({k: round(float(v), 4) for k, v in out.items()}))
 
 
