@@ -63,13 +63,35 @@ def _abs_percentile(x: jax.Array, pct: float) -> jax.Array:
     ones-weights scatter-add saturates at 2^24 per bin, so on the very
     tensors this exists for (hundreds of millions of elements crowded
     into a few low bins of a spike-stretched range) the cdf never reaches
-    pct and the 'percentile' silently degrades to the max."""
-    absx = jnp.abs(x.astype(jnp.float32)).ravel()
-    mx = jnp.max(absx)
-    bins = jnp.clip((absx / jnp.maximum(mx, 1e-30) * 2048.0).astype(jnp.int32),
-                    0, 2047)
-    hist = jnp.zeros((2048,), jnp.int32).at[bins].add(1)
-    cdf = jnp.cumsum(hist).astype(jnp.float32) / absx.size
+    pct and the 'percentile' silently degrades to the max.
+
+    Large tensors are binned in lax.scan CHUNKS: a one-shot scatter
+    materializes a full-size int32 index array next to the activation
+    itself (~2 GB extra per (128,256,256,64) generator-tail input), which
+    measured as a TPU worker OOM-crash during `test.py --int8
+    --batch-size 128` calibration."""
+    flat = x.astype(jnp.float32).ravel()
+    n = flat.size
+    mx = jnp.max(jnp.abs(flat))
+    scale = 2048.0 / jnp.maximum(mx, 1e-30)
+
+    def bin_of(v):
+        return jnp.clip((jnp.abs(v) * scale).astype(jnp.int32), 0, 2047)
+
+    chunk = 1 << 22
+    if n <= chunk:
+        hist = jnp.zeros((2048,), jnp.int32).at[bin_of(flat)].add(1)
+    else:
+        pad = (-n) % chunk
+        padded = jnp.pad(flat, (0, pad))  # zeros land in bin 0
+
+        def body(h, c):
+            return h.at[bin_of(c)].add(1), None
+
+        hist, _ = jax.lax.scan(body, jnp.zeros((2048,), jnp.int32),
+                               padded.reshape(-1, chunk))
+        hist = hist.at[0].add(-pad)
+    cdf = jnp.cumsum(hist).astype(jnp.float32) / n
     idx = jnp.searchsorted(cdf, pct / 100.0)
     return mx * (idx + 1).astype(jnp.float32) / 2048.0
 
