@@ -69,6 +69,11 @@ def _reduce_dimensionality(x: np.ndarray, outdims: int,
     default on real photographs (docs/cluster_quality_photos/ — pca beats
     every nonlinear reducer's ARI there, including UMAP itself)."""
     if reducer == "auto":
+        # Visible at run time, not only in --help: 'auto' diverges from the
+        # reference's UMAP default (bedrooms.py:274-276) by measurement.
+        print("reducer 'auto' -> pca (measured best ARI on real photos, "
+              "docs/cluster_quality_photos/; pass --reducer umap for "
+              "reference parity)")
         reducer = "pca"
     if reducer == "umap":
         try:
@@ -85,7 +90,11 @@ def _reduce_dimensionality(x: np.ndarray, outdims: int,
         from sklearn.manifold import TSNE
 
         n = x.shape[0]
-        outdims = min(outdims, 3)  # barnes-hut supports <= 3 components
+        if outdims > 3:  # barnes-hut supports <= 3 components
+            print(f"tsne: clamping latent dims {outdims} -> 3 (sklearn "
+                  "barnes-hut limit); downstream k-ladder clustering runs "
+                  "on the 3-dim embedding")
+        outdims = min(outdims, 3)
         return TSNE(n_components=outdims, init="pca",
                     perplexity=min(30.0, max(2.0, (n - 1) / 3.0)),
                     random_state=0).fit_transform(x)

@@ -59,11 +59,14 @@ def _abs_percentile(x: jax.Array, pct: float) -> jax.Array:
     """Approximate pct-th percentile of |x| via a 2048-bin histogram —
     one pass, jit-safe on activation tensors too large to sort.
 
-    Counts are accumulated in INT32, not via jnp.histogram: its float32
-    ones-weights scatter-add saturates at 2^24 per bin, so on the very
-    tensors this exists for (hundreds of millions of elements crowded
-    into a few low bins of a spike-stretched range) the cdf never reaches
-    pct and the 'percentile' silently degrades to the max.
+    Counts are scatter-added in INT32 per chunk, not via jnp.histogram:
+    its float32 ones-weights scatter-add saturates at 2^24 per bin, so on
+    the very tensors this exists for (hundreds of millions of elements
+    crowded into a few low bins of a spike-stretched range) the cdf never
+    reaches pct and the 'percentile' silently degrades to the max. The
+    RUNNING cross-chunk sum is float32 (adds of exact <=2^22 chunk counts
+    stay monotone), so bins cannot wrap negative at n >= 2^31 elements
+    either (int32 would: batch 512 at the generator tail is exactly 2^31).
 
     Large tensors are binned in lax.scan CHUNKS: a one-shot scatter
     materializes a full-size int32 index array next to the activation
@@ -81,17 +84,25 @@ def _abs_percentile(x: jax.Array, pct: float) -> jax.Array:
     chunk = 1 << 22
     if n <= chunk:
         hist = jnp.zeros((2048,), jnp.int32).at[bin_of(flat)].add(1)
+        hist = hist.astype(jnp.float32)
     else:
         pad = (-n) % chunk
         padded = jnp.pad(flat, (0, pad))  # zeros land in bin 0
 
         def body(h, c):
-            return h.at[bin_of(c)].add(1), None
+            # per-chunk counts are exact int32 (chunk = 2^22 << 2^31); the
+            # RUNNING sum is float32 so bins never wrap negative at n >=
+            # 2^31 elements (reachable: a (512,256,256,64) generator-tail
+            # input is exactly 2^31) — float32 adds of exact <=2^22
+            # increments stay monotone, more than enough for a 2048-bin
+            # percentile read
+            counts = jnp.zeros((2048,), jnp.int32).at[bin_of(c)].add(1)
+            return h + counts.astype(jnp.float32), None
 
-        hist, _ = jax.lax.scan(body, jnp.zeros((2048,), jnp.int32),
+        hist, _ = jax.lax.scan(body, jnp.zeros((2048,), jnp.float32),
                                padded.reshape(-1, chunk))
-        hist = hist.at[0].add(-pad)
-    cdf = jnp.cumsum(hist).astype(jnp.float32) / n
+        hist = hist.at[0].add(-float(pad))
+    cdf = jnp.cumsum(hist) / n
     idx = jnp.searchsorted(cdf, pct / 100.0)
     return mx * (idx + 1).astype(jnp.float32) / 2048.0
 

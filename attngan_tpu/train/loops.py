@@ -121,6 +121,7 @@ def run_damsm_training(
              for k in ("tokens", "lengths", "class_ids", "img256")}, mesh)
 
     history = []
+    last_logged = 0   # superbatch logging: steps advance K at a time
     timer = StepTimer()
     profiler = StepWindowProfiler(
         os.path.join(run_cfg.checkpoint_dir, "profile_damsm"),
@@ -151,7 +152,10 @@ def run_damsm_training(
                 timer.tick(superbatch)
                 profiler.tick()
                 history.extend(float(l) for l in np.asarray(metrics["loss"]))
-                if len(history) % run_cfg.log_every < superbatch:
+                # log once per log_every window even when K doesn't divide
+                # it (`% log_every < K` fires on every remainder in [0, K))
+                if len(history) - last_logged >= run_cfg.log_every:
+                    last_logged = len(history)
                     print(f"epoch {epoch} step {len(history)} "
                           f"loss {history[-1]:.3f} "
                           f"({timer.steps_per_sec:.2f} steps/s)")

@@ -70,6 +70,57 @@ def test_test_py_benchmark_shards_over_mesh(tmp_path):
     assert "data-parallel inference over 8 devices" in proc.stdout
 
 
+def _caps_file(tmp_path):
+    import json
+
+    caps = {f"img_{i}.jpg": [[f"k2c{i % 2}", f"k4c{i % 4}"], i % 4]
+            for i in range(4)}
+    caps_path = tmp_path / "caps.json"
+    caps_path.write_text(json.dumps(caps))
+    return caps_path
+
+
+def _sidecar_ckpt(tmp_path):
+    """Checkpoint dir with only the config sidecar (no step dirs): test.py
+    warns about random weights but still applies the recorded model shape."""
+    import json
+
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    (ck / "config.json").write_text(json.dumps({
+        "num_stages": 1, "gf_dim": 4, "df_dim": 4, "emb_dim": 16,
+        "seq_len": 4, "image_encoder": "tiny"}))
+    return ck
+
+
+def test_test_py_sidecar_fills_unpassed_flags(tmp_path):
+    """No shape flags passed: the sidecar's dims drive the model (the run
+    succeeds at tiny dims only because the sidecar was honored)."""
+    import json
+
+    proc = _run("test.py", "--captions-path", str(_caps_file(tmp_path)),
+                "--checkpoint", str(_sidecar_ckpt(tmp_path)),
+                "--benchmark", "--batch-size", "8", "--compute-dtype", "",
+                timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["value"] > 0
+
+
+def test_test_py_explicit_flag_sidecar_mismatch_fails_loudly(tmp_path):
+    """An explicitly-passed dim contradicting the sidecar must fail with a
+    message naming BOTH values (VERDICT r3 Weak #6), not silently prefer
+    the sidecar or die in orbax with a raw shape error."""
+    proc = _run("test.py", "--captions-path", str(_caps_file(tmp_path)),
+                "--checkpoint", str(_sidecar_ckpt(tmp_path)),
+                "--benchmark", "--gf-dim", "8", "--compute-dtype", "",
+                timeout=420)
+    assert proc.returncode != 0
+    err = proc.stderr + proc.stdout
+    assert "contradicts" in err
+    assert "gf_dim=4" in err and "--gf-dim 8" in err
+
+
 def test_config_module_exposes_dataclasses():
     proc = _run("-c",
                 "import config; "
