@@ -71,6 +71,8 @@ def parse_args():
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest checkpoint (exact resume: "
                         "params + optimizer states + step + PRNG key)")
+    p.add_argument("--checkpoint-every-epochs", type=int, default=1,
+                   help="save a checkpoint every N epochs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--trunk-train-mode-bn", action="store_true",
                    help="reproduce the reference quirk: frozen Inception "
@@ -130,6 +132,7 @@ def main():
                       trunk_train_mode_bn=args.trunk_train_mode_bn)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
                         image_dir=args.image_dir, profile=args.profile,
+                        checkpoint_every_epochs=args.checkpoint_every_epochs,
                         mesh_shape=tuple(args.mesh_shape))
     pretrained = None
     if args.pretrained_cnn:

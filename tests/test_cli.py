@@ -3,6 +3,7 @@ with clean messages (BASELINE.json requires pretrain_damsm.py / train.py /
 test.py / config.py to keep a CLI surface)."""
 
 import os
+import pytest
 import subprocess
 import sys
 
@@ -130,6 +131,7 @@ def test_config_module_exposes_dataclasses():
     assert proc.returncode == 0, proc.stderr[-500:]
 
 
+@pytest.mark.slow
 def test_test_py_int8_benchmark(tmp_path):
     """--int8 must calibrate and serve the quantized sampler end to end."""
     import json

@@ -9,6 +9,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,6 +44,7 @@ def test_scene_dataset_factors():
     assert px.shape == (64, 64, 3) and px.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_cluster_quality_run_summary(tmp_path, monkeypatch):
     from tools import cluster_quality_run as cq
 

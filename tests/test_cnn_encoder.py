@@ -131,6 +131,7 @@ def test_packed_stem_trunk_exact_and_checkpoint_compatible(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_s2d_stem_trunk_exact_and_checkpoint_compatible(rng):
     """InceptionV3Trunk(s2d_stem=True): identical param tree and numerically
     matching forward AND input-gradient — the space-to-depth stem

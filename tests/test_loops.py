@@ -54,6 +54,7 @@ def test_damsm_loop_superbatch(tmp_path, run_cfg):
     assert int(state.step) == 4
 
 
+@pytest.mark.slow
 def test_gan_loop_end_to_end(tmp_path, run_cfg):
     cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
                     seq_len=4, batch_size=4, epochs=1, num_stages=2,

@@ -75,6 +75,7 @@ def test_uncalibrated_and_grouped_modules_stay_float(rng):
                                   np.asarray(net2.apply(v2, x2)))
 
 
+@pytest.mark.slow
 def test_int8_sampler_end_to_end_close_to_float(rng):
     from attngan_tpu.core.config import GanConfig
     from attngan_tpu.infer.sampler import Sampler

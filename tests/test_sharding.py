@@ -4,6 +4,7 @@ the reference is single-GPU; DP over ICI is first-class here)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from attngan_tpu.core.config import DamsmConfig, GanConfig
 from attngan_tpu.parallel import make_mesh, replicate, shard_batch
@@ -177,6 +178,7 @@ def test_gan_coupling_sharded_loss_matches_single_device(rng):
                                        err_msg=f"step {step}: {key}")
 
 
+@pytest.mark.slow
 def test_gan_coupling_sharded_loss_2d_mesh(rng):
     """Same coupling parity on the 2-D ('slice', 'data') multi-slice mesh."""
     cfg = _gan_cfg3()

@@ -19,6 +19,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+pytestmark = pytest.mark.slow  # full-trunk CPU oracle tier; run with -m ""
+
 from tests.torch_oracles import (
     TBasicBlock,
     TBasicConv2d,

@@ -114,6 +114,7 @@ def test_gan_step_full_3stage_with_damsm(rng):
         assert np.isfinite(float(val)), f"{key} not finite"
 
 
+@pytest.mark.slow
 def test_gan_step_reuse_gen_forward_parity(rng):
     """reuse_gen_forward=True (one jax.vjp'd generator forward, the
     reference's retained-graph semantics, train.py:119-145) must produce

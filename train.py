@@ -47,6 +47,10 @@ def parse_args():
     p.add_argument("--image-dir", default=Config.IMAGE_DIR)
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest GAN checkpoint")
+    p.add_argument("--checkpoint-every-epochs", type=int, default=1,
+                   help="save a checkpoint + sample grid every N epochs "
+                        "(each save is a separate step_* dir — raise N on "
+                        "long runs to bound disk)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 2-7")
@@ -99,6 +103,7 @@ def main():
                     compute_dtype=args.compute_dtype)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
                         image_dir=args.image_dir, profile=args.profile,
+                        checkpoint_every_epochs=args.checkpoint_every_epochs,
                         mesh_shape=tuple(args.mesh_shape))
 
     rnn_params = cnn_vars = None
