@@ -16,9 +16,19 @@ full rows AND columns) is computed replicated. Communication per step:
     all_gather(words (B, L, D) + sent (B, D) + masks)   ~ B*L*D floats
     all_gather(sims (B, B))                             ~ B^2 floats
 
-versus jit-SPMD's gather of the (B, R, D) region features (R = 289 >> L).
-The row sharding also matches ops/pallas_damsm.py's grid (local images x
-all texts), so the fused kernel can slot into the per-shard compute.
+versus the worst-case SPMD choice of gathering the (B, R, D) region
+features (R = 289 >> L). Measured honestly (round 4, compiled-HLO byte
+count at B=64/emb=256/R=289 on the 8-device mesh): current XLA's
+partitioner independently discovers the SAME text-gather strategy for the
+plain vmap loss (~0.60 MB gathered either way, no region gather), so this
+form is NOT a traffic win over today's XLA. Its value is (a) the strategy
+is PINNED — tests/test_hlo_collectives.py fails if a partitioner change
+regresses either phase into the 18.9 MB region gather, where the plain
+path's choice is version-dependent and unasserted — and (b) the row
+sharding matches ops/pallas_damsm.py's grid (local images x all texts),
+so the fused kernel slots into the per-shard compute; under plain
+jit-SPMD the kernel cannot be used at all (pallas_call has no SPMD
+partitioning rule and would force replication).
 
 Numerically identical to losses/damsm.py::damsm_loss (tested on the
 8-device CPU mesh in tests/test_sharded_damsm.py).

@@ -250,3 +250,20 @@ def test_abs_percentile_no_float32_count_saturation():
     assert got < 1.0, f"percentile saturated back to the max: {got}"
     # bulk value is inside the first bin of [0, 1000]: edge 1000/2048
     assert got <= 1000.0 / 2048.0 + 1e-3
+
+
+def test_abs_percentile_chunked_matches_single_chunk():
+    """The cross-chunk float32 running histogram (guards int32 wraparound at
+    n >= 2^31, ADVICE r3) must give the same percentile as the one-shot
+    int32 scatter path on identical data."""
+    from attngan_tpu.infer.quantize import _abs_percentile
+
+    rng = np.random.default_rng(0)
+    small = np.abs(rng.standard_normal((1 << 20,))).astype(np.float32)
+    # Tile the same distribution past the 2^22 chunk size => scan path.
+    big = np.tile(small, 8)
+    for pct in (99.0, 95.0, 50.0):
+        a = float(_abs_percentile(jnp.asarray(small), pct))
+        b = float(_abs_percentile(jnp.asarray(big), pct))
+        np.testing.assert_allclose(a, b, rtol=1e-6,
+                                   err_msg=f"pct={pct}")
