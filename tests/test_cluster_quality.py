@@ -101,3 +101,30 @@ def test_photo_patch_dataset_real_photos():
     ds2, f2 = make_photo_patch_dataset(24, seed=3, res=64)
     np.testing.assert_array_equal(ds.records[0].pixels, ds2.records[0].pixels)
     np.testing.assert_array_equal(factors["photo"], f2["photo"])
+
+
+def test_make_photo_corpus_writes_scannable_jpgs(tmp_path):
+    """tools/make_photo_corpus.py materializes the patch corpus as .jpg
+    files that the product Dataset scan ingests (the three-phase pipeline's
+    --data-root surface, docs/e2e_photos), with the factors sidecar."""
+    import json
+    import subprocess
+    import sys
+
+    out = tmp_path / "corpus"
+    proc = subprocess.run(
+        [sys.executable, "tools/make_photo_corpus.py", "--num-images", "8",
+         "--out", str(out)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    jpgs = sorted(p.name for p in out.glob("*.jpg"))
+    assert len(jpgs) == 8
+    factors = json.loads((out / "factors.json").read_text())
+    assert set(factors) == set(jpgs)
+
+    from attngan_tpu.data.dataset import Dataset
+
+    ds = Dataset(str(out), max_images=99, flip_augment=False)
+    assert len(ds.records) == 8
+    assert ds.records[0].pixels.shape == (256, 256, 3)
