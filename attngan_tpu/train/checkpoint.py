@@ -20,7 +20,7 @@ from flax import serialization
 
 
 def save_checkpoint(directory: str, state: Any, step: int,
-                    config: Any = None) -> str:
+                    config: Any = None, epoch: Optional[int] = None) -> str:
     directory = os.path.abspath(directory)
     path = os.path.join(directory, f"step_{step:08d}")
     with ocp.StandardCheckpointer() as ckptr:
@@ -30,7 +30,23 @@ def save_checkpoint(directory: str, state: Any, step: int,
         # dims otherwise fails deep inside orbax with a raw shape error.
         with open(os.path.join(directory, "config.json"), "w") as f:
             json.dump(dataclasses.asdict(config), f, indent=2)
+    if epoch is not None:
+        # Epoch sidecar: the state pytree carries the step counter but not
+        # the epoch (steps/epoch varies with degenerate-batch skips), and
+        # resumed runs must continue epoch numbering, not restart at 1.
+        with open(os.path.join(directory, "progress.json"), "w") as f:
+            json.dump({"epoch": epoch, "step": step}, f)
     return path
+
+
+def load_progress_sidecar(directory: str) -> int:
+    """Epoch count recorded at the newest save (0 when absent — pre-sidecar
+    checkpoints resume with epoch numbering restarted, the old behavior)."""
+    path = os.path.join(os.path.abspath(directory), "progress.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return int(json.load(f).get("epoch", 0))
+    return 0
 
 
 def load_config_sidecar(directory: str) -> Optional[dict]:

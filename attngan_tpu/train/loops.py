@@ -24,6 +24,7 @@ from attngan_tpu.infer.sampler import denormalize
 from attngan_tpu.parallel import make_mesh_for_batch, replicate, shard_batch
 from attngan_tpu.train.checkpoint import (
     latest_checkpoint,
+    load_progress_sidecar,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -38,15 +39,20 @@ from attngan_tpu.utils.timing import StepTimer, StepWindowProfiler
 def _maybe_resume(state, directory: str, resume: bool):
     """Exact resume from the newest checkpoint (params + every optimizer
     state + step + PRNG key) — the reference's per-epoch pickles could not
-    resume optimizers at all (Adam name collision, SURVEY.md §3.2)."""
+    resume optimizers at all (Adam name collision, SURVEY.md §3.2).
+
+    Returns ``(state, start_epoch)``: the loop continues at epoch
+    ``start_epoch + 1``, so ``cfg.epochs`` is the run's TOTAL epoch count
+    and a resumed run's logs/snapshots keep the original numbering."""
     if not resume:
-        return state
+        return state, 0
     ckpt = latest_checkpoint(directory)
     if ckpt is None:
         print(f"--resume: no checkpoint under {directory}, starting fresh")
-        return state
-    print(f"resuming from {ckpt}")
-    return restore_checkpoint(ckpt, state)
+        return state, 0
+    start_epoch = load_progress_sidecar(directory)
+    print(f"resuming from {ckpt} (epoch {start_epoch} done)")
+    return restore_checkpoint(ckpt, state), start_epoch
 
 
 def _skip_batch(host_batch, batch_size: int) -> bool:
@@ -94,9 +100,10 @@ def run_damsm_training(
     if trainer is None:
         trainer = DamsmTrainer(cfg, vocab_size=dataset.vocab.n_words,
                                seq_len=seq_len, mesh=mesh)
+    start_epoch = 0
     if state is None:
         state = trainer.init_state(run_cfg.seed, pretrained_cnn=pretrained_cnn)
-        state = _maybe_resume(
+        state, start_epoch = _maybe_resume(
             state, os.path.join(run_cfg.checkpoint_dir, "damsm"), resume)
     cache = None
     if cfg.cache_region_features:
@@ -134,7 +141,10 @@ def run_damsm_training(
                 f"superbatch={superbatch} needs at least {superbatch} full "
                 f"batches per epoch; this dataset yields at most {per_epoch}"
                 f" (batch_size={cfg.batch_size})")
-    for epoch in range(1, cfg.epochs + 1):
+    if start_epoch >= cfg.epochs:
+        print(f"--resume: checkpoint already at epoch {start_epoch} >= "
+              f"--epochs {cfg.epochs}; nothing to train")
+    for epoch in range(start_epoch + 1, cfg.epochs + 1):
         batches = (b for b in dataset.iter_batches(cfg.batch_size, seq_len,
                                                    seed=run_cfg.seed + epoch)
                    if not _skip_batch(b, cfg.batch_size))
@@ -171,7 +181,8 @@ def run_damsm_training(
                       f"({timer.steps_per_sec:.2f} steps/s)")
         if epoch % run_cfg.checkpoint_every_epochs == 0:
             save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "damsm"),
-                            jax.device_get(state), int(state.step), cfg)
+                            jax.device_get(state), int(state.step), cfg,
+                            epoch=epoch)
             if history:
                 plot_history(history,
                              os.path.join(run_cfg.image_dir,
@@ -196,10 +207,11 @@ def run_gan_training(
     mesh = make_mesh_for_batch(cfg.batch_size, shape=run_cfg.mesh_shape)
     if trainer is None:
         trainer = GanTrainer(cfg, vocab_size=dataset.vocab.n_words, mesh=mesh)
+    start_epoch = 0
     if state is None:
         state = trainer.init_state(run_cfg.seed, rnn_params=rnn_params,
                                    cnn_variables=cnn_variables)
-        state = _maybe_resume(
+        state, start_epoch = _maybe_resume(
             state, os.path.join(run_cfg.checkpoint_dir, "gan"), resume)
     state = replicate(state, mesh)
 
@@ -220,7 +232,10 @@ def run_gan_training(
             {k: device_batch[k]
              for k in ("tokens", "lengths", "class_ids", *image_keys)}, mesh)
 
-    for epoch in range(1, cfg.epochs + 1):
+    if start_epoch >= cfg.epochs:
+        print(f"--resume: checkpoint already at epoch {start_epoch} >= "
+              f"--epochs {cfg.epochs}; nothing to train")
+    for epoch in range(start_epoch + 1, cfg.epochs + 1):
         batches = (b for b in dataset.iter_batches(cfg.batch_size, cfg.seq_len,
                                                    seed=run_cfg.seed + epoch)
                    if not _skip_batch(b, cfg.batch_size))
@@ -239,7 +254,8 @@ def run_gan_training(
         # per-epoch snapshot (reference train.py:154-162)
         if epoch % run_cfg.checkpoint_every_epochs == 0:
             save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "gan"),
-                            jax.device_get(state), int(state.step), cfg)
+                            jax.device_get(state), int(state.step), cfg,
+                            epoch=epoch)
             if last_embed is not None:
                 _sample_grid(trainer, state, last_embed, fixed_noise,
                              epoch, run_cfg, mesh)

@@ -70,7 +70,10 @@ def parse_args():
     p.add_argument("--image-dir", default=Config.IMAGE_DIR)
     p.add_argument("--resume", action="store_true",
                    help="continue from the newest checkpoint (exact resume: "
-                        "params + optimizer states + step + PRNG key)")
+                        "params + optimizer states + step + PRNG key); "
+                        "epoch numbering continues and --epochs is the "
+                        "TOTAL epoch count, so a run killed at epoch 23 of "
+                        "100 resumes with the same --epochs 100")
     p.add_argument("--checkpoint-every-epochs", type=int, default=1,
                    help="save a checkpoint every N epochs")
     p.add_argument("--seed", type=int, default=0)

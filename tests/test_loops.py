@@ -32,6 +32,27 @@ def test_damsm_loop_end_to_end(tmp_path, run_cfg):
                                        "epoch_2-damsm_loss.png"))
 
 
+def test_damsm_resume_continues_epoch_numbering(tmp_path, run_cfg):
+    """--epochs is the run's TOTAL epoch count under --resume: resuming at
+    the same total is a no-op, and a larger total continues the original
+    epoch numbering (snapshots named epoch_2, not a second epoch_1)."""
+    import dataclasses
+
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=4, epochs=1,
+                      image_encoder="tiny", compute_dtype="")
+    ds = make_synthetic_dataset(num_images=8, num_classes=2, res=64)
+    _, state, _ = run_damsm_training(cfg, run_cfg, ds)
+
+    _, state_noop, h_noop = run_damsm_training(cfg, run_cfg, ds, resume=True)
+    assert int(state_noop.step) == int(state.step) and not h_noop
+
+    cfg2 = dataclasses.replace(cfg, epochs=2)
+    _, state2, _ = run_damsm_training(cfg2, run_cfg, ds, resume=True)
+    assert int(state2.step) == 2 * int(state.step)
+    assert os.path.exists(os.path.join(run_cfg.image_dir,
+                                       "epoch_2-damsm_loss.png"))
+
+
 def test_damsm_loop_cached_features(tmp_path, run_cfg):
     cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=4, epochs=1,
                       image_encoder="tiny", compute_dtype="",
@@ -67,7 +88,16 @@ def test_gan_loop_end_to_end(tmp_path, run_cfg):
     ckpt_dir = os.path.join(run_cfg.checkpoint_dir, "gan")
     assert any(c.startswith("step_") for c in os.listdir(ckpt_dir))
 
-    # resume continues from the saved step
-    cfg2 = cfg  # same config; epochs param governs additional epochs
+    # resume with the SAME total --epochs: epoch 1 is already done, so
+    # nothing trains and the restored step is unchanged
+    _, state_noop, _ = run_gan_training(cfg, run_cfg, ds, resume=True)
+    assert int(state_noop.step) == int(state.step)
+
+    # resume toward a larger total: continues at epoch 2 (numbering
+    # continues — the snapshot is epoch_2, not a second epoch_1)
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, epochs=2)
     _, state2, _ = run_gan_training(cfg2, run_cfg, ds, resume=True)
-    assert int(state2.step) > int(state.step) - 1  # restored + progressed
+    assert int(state2.step) == 2 * int(state.step)  # one more epoch ran
+    assert os.path.exists(os.path.join(run_cfg.image_dir,
+                                       "epoch_2-128x128.png"))

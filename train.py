@@ -46,7 +46,10 @@ def parse_args():
     p.add_argument("--checkpoint-dir", default=Config.CHECKPOINT_DIR)
     p.add_argument("--image-dir", default=Config.IMAGE_DIR)
     p.add_argument("--resume", action="store_true",
-                   help="continue from the newest GAN checkpoint")
+                   help="continue from the newest GAN checkpoint; epoch "
+                        "numbering continues and --epochs is the TOTAL "
+                        "epoch count, so a run killed at epoch 23 of 100 "
+                        "resumes with the same --epochs 100")
     p.add_argument("--checkpoint-every-epochs", type=int, default=1,
                    help="save a checkpoint + sample grid every N epochs "
                         "(each save is a separate step_* dir — raise N on "
