@@ -1,5 +1,6 @@
 """Orbax checkpoint round-trip, config sidecar, exact resume."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +81,7 @@ def test_resume_continues_exactly(tmp_path, rng):
                                float(metrics_b["loss"]), rtol=1e-5)
     assert int(state_b2.step) == int(state_a.step) == 4
 
+@pytest.mark.slow
 def test_restore_inference_state_partial_and_single_trace(tmp_path, rng):
     """Serving-path regression (ROADMAP #8): restore_inference_state must
     (a) restore ONLY the sampling subtrees, as HOST numpy (one bulk

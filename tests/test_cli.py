@@ -47,6 +47,7 @@ def test_test_py_requires_action():
     assert "image-names" in (proc.stderr + proc.stdout)
 
 
+@pytest.mark.slow
 def test_test_py_benchmark_shards_over_mesh(tmp_path):
     """North-star config 5: `test.py --benchmark` must run the sampler
     data-parallel over the device mesh — asserted via the actual output
@@ -94,6 +95,7 @@ def _sidecar_ckpt(tmp_path):
     return ck
 
 
+@pytest.mark.slow
 def test_test_py_sidecar_fills_unpassed_flags(tmp_path):
     """No shape flags passed: the sidecar's dims drive the model (the run
     succeeds at tiny dims only because the sidecar was honored)."""

@@ -107,6 +107,7 @@ def test_weight_converter_key_mapping():
     assert out["params"]["fc_like"]["kernel"].shape == (512, 10)  # linear transposed
 
 
+@pytest.mark.slow
 def test_packed_stem_trunk_exact_and_checkpoint_compatible(rng):
     """InceptionV3Trunk(packed_stem=True): identical param tree (checkpoint
     / converted-weight compatible) and numerically matching forward — the

@@ -17,6 +17,7 @@ one communication-interesting piece); reference train.py:138-145 (the GAN
 coupling these collectives serve).
 """
 
+import pytest
 import re
 
 import jax
@@ -88,6 +89,7 @@ def test_damsm_step_collectives(rng):
     _assert_collective_contract(hlo, "damsm step")
 
 
+@pytest.mark.slow
 def test_gan_step_collectives(rng):
     """8-device full 3-stage GAN step with the sharded DAMSM coupling:
     words gathered for the G-step coupling, fake-image regions NOT."""

@@ -17,6 +17,7 @@ def run_cfg(tmp_path):
                      image_dir=str(tmp_path / "img"), log_every=1000)
 
 
+@pytest.mark.slow
 def test_damsm_loop_end_to_end(tmp_path, run_cfg):
     cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=4, epochs=2,
                       image_encoder="tiny", compute_dtype="")

@@ -1,5 +1,6 @@
 """Pallas kernels vs their jnp oracles (interpret mode on CPU)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,6 +91,7 @@ def test_pallas_words_loss_grad_matches(rng):
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_words_loss_pallas_extreme_magnitudes(rng):
     """Per-GROUP max shift in softmax #1: with score groups separated by
     >> 88 (exp underflow range), a global max shift would zero out entire

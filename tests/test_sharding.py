@@ -85,6 +85,7 @@ def _gan_cfg():
                      image_encoder="tiny", compute_dtype="")
 
 
+@pytest.mark.slow
 def test_gan_step_sharded_matches_single_device(rng):
     """8-device GAN step == single-device step at the same global batch.
     BN policy: under jit-SPMD the batch-axis mean/var reduce over the GLOBAL
@@ -145,6 +146,7 @@ def _gan_cfg3():
                      image_encoder="tiny", compute_dtype="")
 
 
+@pytest.mark.slow
 def test_gan_coupling_sharded_loss_matches_single_device(rng):
     """GanTrainer(mesh=...) routes the G-step's DAMSM coupling through the
     explicit-collective shard_map loss (losses/damsm_sharded.py) — each
@@ -217,6 +219,7 @@ def test_mesh_shape_wiring():
         make_mesh_for_batch(16, shape=(4, 4))  # needs 16 devices, have 8
 
 
+@pytest.mark.slow
 def test_gan_step_sharded_runs(rng):
     cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
                     seq_len=L, batch_size=B, num_stages=2,

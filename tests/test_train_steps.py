@@ -100,6 +100,7 @@ def test_gan_step_runs_and_updates(rng, num_stages):
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
 def test_gan_step_full_3stage_with_damsm(rng):
     """Full cascade incl. the DAMSM coupling on fake256 (train.py:138-145)."""
     cfg = GanConfig(gf_dim=4, df_dim=4, emb_dim=16, cond_dim=4, z_dim=4,
@@ -143,6 +144,7 @@ def test_gan_step_reuse_gen_forward_parity(rng):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gan_step_bf16_compute(rng):
     """bf16 compute dtype end to end (the TPU default) — catches dtype
     promotion bugs that fp32-only tests miss (e.g. fp32 accumulator outputs

@@ -1,6 +1,7 @@
 """DFCVAE / AutoEncoder / VGG19-BN structure and loss tests
 (reference networks/VAE.py, networks/autoencoder.py)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def test_dfcvae_roundtrip_shapes(rng):
     assert float(loss_f) >= float(loss) - 1e-6
 
 
+@pytest.mark.slow
 def test_autoencoder_roundtrip(rng):
     model = AutoEncoder(nz=8)
     x = jnp.asarray(rng.standard_normal((2, 256, 256, 3)) * 0.1, jnp.float32)
@@ -48,6 +50,7 @@ def test_autoencoder_roundtrip(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_vae_embedder_contracts(rng):
     model = AutoEncoder(nz=8)
     x = jnp.zeros((1, 256, 256, 3))
@@ -58,6 +61,7 @@ def test_vae_embedder_contracts(rng):
     assert out.shape == (3, 8)
 
 
+@pytest.mark.slow
 def test_vgg19bn_tap_count_and_shapes(rng):
     from attngan_tpu.models.vgg import VGG19BNFeatures
 
