@@ -87,7 +87,7 @@ class GanConfig:
     # ^ Pallas generator word-attention kernel (ops/pallas_attention.py).
     #   Measured LOSING at gf=32 (C=32 wastes 3/4 of the vector lanes);
     #   for wide-channel variants.
-    fused_upsample: bool = False
+    fused_upsample: bool | str = False
     # ^ Pallas eval-mode UpBlock kernel (ops/pallas_upblock.py). Wins
     #   isolated at 128^2 but loses in the full sampler to XLA's fused
     #   chain (BENCH.md round 2); the measured default is the dilated-conv

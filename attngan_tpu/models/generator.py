@@ -59,7 +59,7 @@ class InitialStage(nn.Module):
 
     gf_dim: int  # full width at 4x4, i.e. 16 * base gf (reference "ng")
     dtype: jnp.dtype | None = None
-    fused_upsample: bool = False
+    fused_upsample: bool | str = False
 
     @nn.compact
     def __call__(self, noise, condition, train: bool = True):
@@ -86,7 +86,7 @@ class NextStage(nn.Module):
     # 71 ms/batch) — at C=gf=32 the kernel wastes 3/4 of the 128-wide vector
     # lanes. Flip on for wide-channel variants where the fusion pays.
     fused_attention: bool = False
-    fused_upsample: bool = False  # Pallas eval UpBlock (ops/pallas_upblock.py)
+    fused_upsample: bool | str = False  # Pallas eval UpBlock (True/"pallas"/"packed")
 
     @nn.compact
     def __call__(self, images, word_embs, mask, train: bool = True):
@@ -133,7 +133,7 @@ class Generator(nn.Module):
     num_stages: int = 3           # 1=64px, 2=+128, 3=+256
     dtype: jnp.dtype | None = None
     fused_attention: bool = False  # see NextStage.fused_attention
-    fused_upsample: bool = False   # Pallas eval UpBlock kernel
+    fused_upsample: bool | str = False  # Pallas eval UpBlock (True/"pallas"/"packed")
 
     @nn.compact
     def __call__(

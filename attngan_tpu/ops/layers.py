@@ -256,16 +256,20 @@ class UpBlock(nn.Module):
     1.8x over the naive chain at the 128^2 tail on v5e); below that the
     naive upsample+conv chain wins (dispatch/small-grid dominated).
     fused=True forces the 4-conv parity decomposition (kept for A/B;
-    measured slower); fused_inference=True routes EVAL-mode forwards
-    through the Pallas block kernel (ops/pallas_upblock.py), which ties the
-    dilated form at 128^2 but is forward-only. All paths share one
-    (3,3,Cin,2*out) kernel param (checkpoint compatible).
+    measured slower); fused_inference routes EVAL-mode forwards through a
+    Pallas block kernel — True/"pallas" = ops/pallas_upblock.py (ties the
+    dilated form at 128^2), "packed" = the lane-packed redesign
+    (ops/pallas_upblock_packed.py, exact only at the generator-tail dims
+    Ci=64->Co=32; other dims fall back to the measured default below),
+    "packed64" = packed ONLY at 64^2 input (dilated elsewhere — the
+    per-size winners). All Pallas forms are forward-only. All paths share
+    one (3,3,Cin,2*out) kernel param (checkpoint compatible).
     """
 
     out_features: int
     dtype: jnp.dtype | None = None
     fused: bool = False
-    fused_inference: bool = False   # Pallas eval kernel (train keeps XLA)
+    fused_inference: bool | str = False  # Pallas eval kernel (train keeps XLA)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -275,14 +279,27 @@ class UpBlock(nn.Module):
         # size gate: the Pallas kernel pays at >=64^2 spatial (honest A/B,
         # B=128 Ci=64: 22.4 vs 42.2 ms at 128^2, 6.4 vs 8.6 at 64^2, but
         # 5.1 vs 2.7 at 32^2 where dispatch + small grids dominate)
-        if self.fused_inference and not train and x.shape[1] >= 64:
-            from attngan_tpu.ops.pallas_upblock import upblock_pallas
-
+        mode = self.fused_inference
+        packed_ok = (x.shape[-1] * 2 == 128 and self.out_features * 4 == 128
+                     and x.shape[1] % 2 == 0)
+        if mode == "packed64" and not (packed_ok and x.shape[1] == 64):
+            mode = False        # hybrid: packed ONLY at the 64^2 tail,
+            #                     measured-default dilated form elsewhere
+        if mode == "packed" and not packed_ok:
+            mode = False        # dims outside the kernel's specialization
+        if mode and not train and x.shape[1] >= 64:
             bn = batch_norm(train, dtype=self.dtype)
             k, b = bn(jnp.zeros((1, self.out_features * 2), jnp.float32),
                       fold_only=True)
             if self.dtype is not None:
                 x = x.astype(self.dtype)
+            if mode in ("packed", "packed64"):
+                from attngan_tpu.ops.pallas_upblock_packed import (
+                    upblock_pallas_packed)
+
+                return upblock_pallas_packed(x, kernel, k, b)
+            from attngan_tpu.ops.pallas_upblock import upblock_pallas
+
             return upblock_pallas(x, kernel, k, b)
         if self.fused:
             x = upsample_conv3x3_fused(x, kernel, self.dtype)

@@ -36,7 +36,10 @@ def main():
     import tempfile
     vocab = 1000
     batch = int(os.environ.get("BENCH_BATCH", "512"))
-    cfg = GanConfig(compute_dtype="bfloat16")
+    # Kernel-variant A/B knob (BENCH.md UpBlock table): "", "pallas",
+    # "packed", or "packed64" (lane-packed kernel at the 64^2 tail only).
+    fused_up = os.environ.get("BENCH_FUSED_UPSAMPLE", "") or False
+    cfg = GanConfig(compute_dtype="bfloat16", fused_upsample=fused_up)
     trainer = GanTrainer(cfg, vocab_size=vocab)
 
     # Measure through the PRODUCT's serving path (save -> restore -> serve),

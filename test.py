@@ -61,9 +61,14 @@ def parse_args():
     p.add_argument("--fused-attention", action="store_true",
                    help="Pallas generator word-attention kernel (measured "
                         "slower at gf=32; for wide-channel variants)")
-    p.add_argument("--fused-upsample", action="store_true",
-                   help="Pallas eval UpBlock kernel (measured slower than "
-                        "the default dilated-conv form; see BENCH.md)")
+    p.add_argument("--fused-upsample", nargs="?", const="pallas",
+                   default=False, choices=["pallas", "packed", "packed64"],
+                   help="Pallas eval UpBlock kernel A/B surface: bare flag "
+                        "/ 'pallas' = the HBM-block kernel, 'packed' = the "
+                        "lane-packed redesign (1.35-1.5x over 'pallas' but "
+                        "still behind the default dilated-conv form at "
+                        "128^2), 'packed64' = packed only at the 64^2 tail "
+                        "(ties the default; see BENCH.md UpBlock tables)")
     p.add_argument("--int8-percentile", type=float, default=99.0,
                    help="int8 activation-scale calibration percentile "
                         "(100 = pure max; 99 is the measured default — "

@@ -46,3 +46,51 @@ def test_packed_kernel_rejects_other_dims(rng):
     x, kernel, bn_k, bn_b = _case(rng, 1, 8, 8, ci=32, co=32)
     with pytest.raises(ValueError, match="Ci=64"):
         upblock_pallas_packed(x, kernel, bn_k, bn_b)
+
+
+def test_upblock_module_mode_routing(rng, monkeypatch):
+    """UpBlock.fused_inference mode routing (ops/layers.py): "packed"
+    uses the lane-packed kernel wherever the dims fit, "packed64" only at
+    the 64^2 tail (dilated elsewhere — the measured per-size winners),
+    True/"pallas" the original HBM-block kernel. All eval-mode outputs
+    must agree with the default dilated path."""
+    import attngan_tpu.ops.pallas_upblock as old_mod
+    import attngan_tpu.ops.pallas_upblock_packed as packed_mod
+    from attngan_tpu.ops.layers import UpBlock
+
+    calls = {"packed": 0, "old": 0}
+    real_packed = packed_mod.upblock_pallas_packed
+    real_old = old_mod.upblock_pallas
+
+    def spy_packed(*a, **k):
+        calls["packed"] += 1
+        return real_packed(*a, **k)
+
+    def spy_old(*a, **k):
+        calls["old"] += 1
+        return real_old(*a, **k)
+
+    monkeypatch.setattr(packed_mod, "upblock_pallas_packed", spy_packed)
+    monkeypatch.setattr(old_mod, "upblock_pallas", spy_old)
+
+    x64 = jnp.asarray(rng.standard_normal((1, 64, 64, 64)), jnp.float32)
+    x128 = jnp.asarray(rng.standard_normal((1, 128, 128, 64)), jnp.float32)
+    variables = UpBlock(32).init(jax.random.key(0), x64, train=False)
+
+    def run(x, mode):
+        return UpBlock(32, fused_inference=mode).apply(
+            variables, x, train=False)
+
+    want = run(x64, False)
+    got = run(x64, "packed")
+    assert calls["packed"] == 1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    run(x64, "packed64")
+    assert calls["packed"] == 2          # 64^2 tail -> packed kernel
+    run(x128, "packed64")
+    assert calls["packed"] == 2          # 128^2 -> dilated, NOT the kernel
+    run(x128, "packed")
+    assert calls["packed"] == 3
+    run(x64, True)
+    assert calls["old"] == 1             # True keeps the original kernel
