@@ -153,3 +153,29 @@ def test_test_py_int8_benchmark(tmp_path):
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     assert result["int8"] is True
     assert result["value"] > 0
+
+
+def test_fused_upsample_flag_parsing(monkeypatch):
+    """--fused-upsample mode surface (ops/layers.py UpBlock routing):
+    absent -> False (measured default, the dilated conv), bare flag ->
+    'pallas' (the original HBM-block kernel), explicit 'packed'/'packed64'
+    select the lane-packed redesign, anything else is rejected at parse
+    time."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "attngan_test_entry", os.path.join(REPO, "test.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def parse(*extra):
+        monkeypatch.setattr(_sys, "argv", ["test.py", *extra])
+        return mod.parse_args()
+
+    assert parse().fused_upsample is False
+    assert parse("--fused-upsample").fused_upsample == "pallas"
+    assert parse("--fused-upsample", "packed").fused_upsample == "packed"
+    assert parse("--fused-upsample", "packed64").fused_upsample == "packed64"
+    with pytest.raises(SystemExit):
+        parse("--fused-upsample", "bogus")
