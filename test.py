@@ -79,6 +79,18 @@ def parse_args():
                         "quantization (infer/quantize.py); calibrates "
                         "activation scales on the first batch")
     p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--export", metavar="PATH", default="",
+                   help="write an AOT serving artifact (jax.export "
+                        "StableHLO, weights baked in) to PATH and exit; "
+                        "serve it with attngan_tpu.infer.export."
+                        "ExportedSampler — no model code or checkpoint "
+                        "needed at the call site")
+    p.add_argument("--export-platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets for --export "
+                        "(the artifact runs on any of them; default both)")
+    p.add_argument("--export-batch", type=int, default=0,
+                   help="fixed batch size for --export; 0 = symbolic "
+                        "batch dim (one artifact, any request size)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh-shape", type=int, nargs="*", default=[],
@@ -92,8 +104,14 @@ def main():
     from attngan_tpu.core.runtime import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
-    if not args.benchmark and not args.image_names:
-        raise SystemExit("pass --image-names (or --benchmark)")
+    if not args.benchmark and not args.image_names and not args.export:
+        raise SystemExit("pass --image-names (or --benchmark / --export)")
+    if args.export and (args.int8 or args.fused_attention
+                        or args.fused_upsample):
+        # The artifact lowers the default XLA serving path: the Pallas and
+        # int8 surfaces are runtime A/B tiers, not portable programs.
+        raise SystemExit("--export lowers the default XLA serving path; "
+                         "drop --int8/--fused-attention/--fused-upsample")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -163,6 +181,22 @@ def main():
     else:
         print("WARNING: no checkpoint found; using random weights")
         state = trainer.init_state(seed=args.seed)
+
+    if args.export:
+        # AOT serving artifact: the exact serving function, lowered to
+        # StableHLO with the restored weights as constants (incompatible
+        # flags already rejected at parse time above).
+        from attngan_tpu.infer.export import save_exported_sampler
+
+        n = save_exported_sampler(
+            args.export, trainer, state,
+            platforms=[s.strip() for s in
+                       args.export_platforms.split(",") if s.strip()],
+            batch_size=args.export_batch or None)
+        print(f"wrote {args.export} ({n:,} bytes, "
+              f"platforms {args.export_platforms}, batch "
+              f"{args.export_batch or 'symbolic'})")
+        return
 
     # Data-parallel inference over the device mesh (the BASELINE north-star
     # "batched text->image inference ... data-parallel over v5e-8" config):

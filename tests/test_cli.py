@@ -179,3 +179,43 @@ def test_fused_upsample_flag_parsing(monkeypatch):
     assert parse("--fused-upsample", "packed64").fused_upsample == "packed64"
     with pytest.raises(SystemExit):
         parse("--fused-upsample", "bogus")
+
+
+def test_test_py_export_rejects_runtime_tiers(tmp_path):
+    """--export + --int8/--fused-* must fail fast at parse time (the
+    artifact lowers the default XLA path; Pallas/int8 are runtime tiers),
+    BEFORE any model construction or checkpoint restore."""
+    proc = _run("test.py", "--export", str(tmp_path / "a.bin"), "--int8",
+                timeout=60)
+    assert proc.returncode != 0
+    assert "--export lowers the default XLA serving path" in (
+        proc.stderr + proc.stdout)
+
+
+@pytest.mark.slow
+def test_test_py_export_writes_servable_artifact(tmp_path):
+    """`test.py --export` end to end: write a CPU artifact at tiny dims,
+    then serve it from a fresh process via ExportedSampler — no model
+    code, config sidecar, or checkpoint at the call site."""
+    art = tmp_path / "sampler.stablehlo"
+    proc = _run("test.py", "--captions-path", str(_caps_file(tmp_path)),
+                "--checkpoint", str(tmp_path / "nonexistent"),
+                "--export", str(art), "--export-platforms", "cpu",
+                "--num-stages", "1", "--gf-dim", "4", "--df-dim", "4",
+                "--emb-dim", "16", "--image-encoder", "tiny",
+                "--compute-dtype", "", timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "wrote" in proc.stdout and art.exists()
+
+    serve = (
+        "import numpy as np\n"
+        "from attngan_tpu.infer.export import ExportedSampler\n"
+        f"s = ExportedSampler({str(art)!r})\n"
+        "tok = np.ones((2, 5), np.int32); ln = np.full((2,), 5, np.int32)\n"
+        "out = s(tok, ln, seed=3)\n"
+        "assert out.shape == (2, 64, 64, 3), out.shape\n"
+        "assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0\n"
+        "print('served', out.shape)\n")
+    proc2 = _run("-c", serve, timeout=300)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "served" in proc2.stdout
