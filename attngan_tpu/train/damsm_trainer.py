@@ -268,23 +268,24 @@ class DamsmTrainer:
         trunk_pooled (B, F2) — from precompute_trunk_features."""
         return self._cached_step_fn(state, batch)
 
-    def populate_attention_maps(self, state: DamsmState, dataset,
-                                folder: str = "attention_maps",
-                                batch_size: int = 0, limit: int = 0):
-        """Dump per-image DAMSM word-region attention strips (the reference's
-        commented-out ``populate_attnmaps``, pretrain_damsm.py:85-107 — its
-        '44 s / 1000 images' comment is the only reference perf artifact).
-        Returns the number of images written."""
-        import os
-
+    def iter_attention_maps(self, state: DamsmState, dataset,
+                            batch_size: int = 0, limit: int = 0):
+        """Yield per-image DAMSM word-region attention maps as HOST
+        (L, side, side) float arrays — the reference's commented-out
+        ``populate_attnmaps`` semantics (pretrain_damsm.py:85-107: CNN +
+        RNN forwards, diagonal image-vs-own-caption attention, maps copied
+        to host objects; its '44 s for 1000 images' comment is the only
+        reference perf artifact — tools/attnmaps_bench.py measures this
+        path against it). One jit covers decode pyramid -> trunk -> BiLSTM
+        -> masked attention; the per-batch ``np.asarray`` is the host
+        boundary the reference's ``.detach().cpu()`` crossed."""
         import numpy as np
 
         from attngan_tpu.data.dataset import word_mask
+        from attngan_tpu.data.prefetch import prefetch
         from attngan_tpu.ops.attention import damsm_attention
-        from attngan_tpu.utils.imaging import save_attention_maps
 
         batch_size = batch_size or self.cfg.batch_size
-        os.makedirs(folder, exist_ok=True)
 
         @jax.jit
         def attn_fn(st, tokens, lengths, img256):
@@ -295,22 +296,45 @@ class DamsmTrainer:
                                       mask=mask)
             return attn                                # (B, L, R)
 
-        written = 0
-        for host_batch in dataset.iter_batches(batch_size, self.seq_len,
-                                               shuffle=False):
-            device_batch = dataset.device_batch(host_batch)
+        # The (B, 256, 256, 3) uint8 h2d dominates this loop's wall clock
+        # through a remote-device tunnel (~430 ms/batch at B=64 vs ~94 ms
+        # compute+map-readback, tools/attnmaps_bench.py) — prefetch
+        # overlaps the next batches' transfers with the current compute
+        # and per-batch readback fence.
+        yielded = 0
+        for device_batch in prefetch(
+                dataset.iter_batches(batch_size, self.seq_len,
+                                     shuffle=False),
+                transform=dataset.device_batch, depth=2):
             attn = np.asarray(attn_fn(state, device_batch["tokens"],
                                       device_batch["lengths"],
                                       device_batch["img256"]))
             b, l, r = attn.shape
             side = int(np.sqrt(r))
             for i in range(b):
-                save_attention_maps(
-                    attn[i].reshape(l, side, side),
-                    os.path.join(folder, f"attn_{written:06d}.png"))
-                written += 1
-                if limit and written >= limit:
-                    return written
+                yield attn[i].reshape(l, side, side)
+                yielded += 1
+                if limit and yielded >= limit:
+                    return
+
+    def populate_attention_maps(self, state: DamsmState, dataset,
+                                folder: str = "attention_maps",
+                                batch_size: int = 0, limit: int = 0):
+        """Dump per-image DAMSM word-region attention strips as PNGs (the
+        file-writing form of ``iter_attention_maps``). Returns the number
+        of images written."""
+        import os
+
+        from attngan_tpu.utils.imaging import save_attention_maps
+
+        os.makedirs(folder, exist_ok=True)
+        written = 0
+        for maps in self.iter_attention_maps(state, dataset,
+                                             batch_size=batch_size,
+                                             limit=limit):
+            save_attention_maps(
+                maps, os.path.join(folder, f"attn_{written:06d}.png"))
+            written += 1
         return written
 
 
