@@ -26,9 +26,11 @@ key derivation as Sampler.generate_from_captions(seed=...) (outputs
 match to ~1 ulp; the serialized program may fuse differently than the
 live jit).
 
-Not exported here: the int8 tier (its calibration is data-dependent
-post-restore; export the calibrated fn the same way if a deployment
-needs it) and the attention-map debug outputs.
+The int8 tier exports too (``export_int8_sampler``): calibration is
+data-dependent, so it runs ONCE at export time on a caller-provided
+caption batch, and the calibrated activation scales are baked into the
+artifact alongside the (quantize-at-trace-time) weights. Not exported:
+the attention-map debug outputs.
 """
 
 from __future__ import annotations
@@ -73,6 +75,58 @@ def save_exported_sampler(path: str, trainer, state,
                           batch_size: int | None = None) -> int:
     """export_sampler -> one artifact file; returns its size in bytes."""
     blob = export_sampler(trainer, state, platforms, batch_size).serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def export_int8_sampler(trainer, state, calib_tokens, calib_lengths,
+                        platforms: Sequence[str] = ("tpu", "cpu"),
+                        batch_size: int | None = None,
+                        percentile: float = 99.0,
+                        calib_seed: int = 0) -> jax_export.Exported:
+    """Calibrate the int8 tier on (calib_tokens, calib_lengths), then
+    lower the QUANTIZED serving function with the scales as constants.
+
+    The artifact has the same ABI as export_sampler's (tokens, lengths,
+    seed) and the same denormalized output; the difference is inside the
+    program — convs/matmuls run s8 x s8 -> s32 with the weights quantized
+    at trace time and activation scales from this one calibration pass
+    (infer/quantize.py; p99 is the measured quality default, BENCH.md)."""
+    from attngan_tpu.infer.quantize import Int8Sampler
+
+    sampler = Int8Sampler(trainer, state, percentile=percentile)
+    sampler.calibrate_on(jnp.asarray(calib_tokens, jnp.int32),
+                         jnp.asarray(calib_lengths, jnp.int32),
+                         jax.random.key(calib_seed))
+    scales = tuple(sorted(sampler.act_scales.items()))
+    infer = sampler.state
+    seq_len = trainer.cfg.seq_len
+
+    def serve(tokens, lengths, seed):
+        key = jax.random.key(seed)
+        return sampler._q_body(scales, infer, tokens, lengths, key)
+
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = batch_size
+    args = (jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.uint32))
+    return jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+
+
+def save_exported_int8_sampler(path: str, trainer, state, calib_tokens,
+                               calib_lengths,
+                               platforms: Sequence[str] = ("tpu", "cpu"),
+                               batch_size: int | None = None,
+                               percentile: float = 99.0,
+                               calib_seed: int = 0) -> int:
+    """export_int8_sampler -> one artifact file; returns its byte size."""
+    blob = export_int8_sampler(
+        trainer, state, calib_tokens, calib_lengths, platforms,
+        batch_size, percentile, calib_seed).serialize()
     with open(path, "wb") as f:
         f.write(blob)
     return len(blob)

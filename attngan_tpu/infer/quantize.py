@@ -272,7 +272,10 @@ class Int8Sampler:
                 functools.partial(quantized_call, scales, skip=self.skip))
             return denormalize(fakes[-1])
 
-        # act scales become trace-time constants (hashable tuple)
+        # act scales become trace-time constants (hashable tuple). The
+        # unjitted body stays accessible for AOT export (infer/export.py
+        # lowers it with the calibrated scales closed over as constants).
+        self._q_body = _q_fn
         self._q_fn = jax.jit(_q_fn, static_argnums=(0,))
 
     def calibrate_on(self, tokens, lengths, key) -> Dict[str, float]:

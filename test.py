@@ -84,7 +84,9 @@ def parse_args():
                         "StableHLO, weights baked in) to PATH and exit; "
                         "serve it with attngan_tpu.infer.export."
                         "ExportedSampler — no model code or checkpoint "
-                        "needed at the call site")
+                        "needed at the call site. Combine with --int8 to "
+                        "export the quantized tier (calibrated here on "
+                        "--batch-size captions from the captions JSON)")
     p.add_argument("--export-platforms", default="tpu,cpu",
                    help="comma-separated lowering targets for --export "
                         "(the artifact runs on any of them; default both)")
@@ -106,12 +108,12 @@ def main():
     enable_persistent_compilation_cache()
     if not args.benchmark and not args.image_names and not args.export:
         raise SystemExit("pass --image-names (or --benchmark / --export)")
-    if args.export and (args.int8 or args.fused_attention
-                        or args.fused_upsample):
-        # The artifact lowers the default XLA serving path: the Pallas and
-        # int8 surfaces are runtime A/B tiers, not portable programs.
-        raise SystemExit("--export lowers the default XLA serving path; "
-                         "drop --int8/--fused-attention/--fused-upsample")
+    if args.export and (args.fused_attention or args.fused_upsample):
+        # The artifact lowers the XLA serving path: the Pallas kernels are
+        # runtime A/B tiers, not portable programs. (--int8 DOES export:
+        # calibration runs once at export time, scales bake in.)
+        raise SystemExit("--export lowers the XLA serving path; drop "
+                         "--fused-attention/--fused-upsample")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -185,16 +187,36 @@ def main():
     if args.export:
         # AOT serving artifact: the exact serving function, lowered to
         # StableHLO with the restored weights as constants (incompatible
-        # flags already rejected at parse time above).
-        from attngan_tpu.infer.export import save_exported_sampler
+        # flags already rejected at parse time above). With --int8 the
+        # quantized tier is calibrated here, on real captions from the
+        # captions JSON, and exported with the scales baked in.
+        platforms = [s.strip() for s in
+                     args.export_platforms.split(",") if s.strip()]
+        if args.int8:
+            from attngan_tpu.infer.export import save_exported_int8_sampler
 
-        n = save_exported_sampler(
-            args.export, trainer, state,
-            platforms=[s.strip() for s in
-                       args.export_platforms.split(",") if s.strip()],
-            batch_size=args.export_batch or None)
+            all_caps = list(handler.img2caption.values())
+            if not all_caps:
+                raise SystemExit("--export --int8 calibrates on the "
+                                 "captions JSON, which is empty")
+            reps = (args.batch_size + len(all_caps) - 1) // len(all_caps)
+            calib = (all_caps * reps)[: args.batch_size]
+            tokens, lengths = handler.preprocess(calib,
+                                                 max_seqlen=cfg.seq_len)
+            n = save_exported_int8_sampler(
+                args.export, trainer, state, tokens, lengths,
+                platforms=platforms,
+                batch_size=args.export_batch or None,
+                percentile=args.int8_percentile, calib_seed=args.seed)
+        else:
+            from attngan_tpu.infer.export import save_exported_sampler
+
+            n = save_exported_sampler(
+                args.export, trainer, state, platforms=platforms,
+                batch_size=args.export_batch or None)
         print(f"wrote {args.export} ({n:,} bytes, "
-              f"platforms {args.export_platforms}, batch "
+              f"platforms {args.export_platforms}, "
+              f"int8 {args.int8}, batch "
               f"{args.export_batch or 'symbolic'})")
         return
 

@@ -182,13 +182,14 @@ def test_fused_upsample_flag_parsing(monkeypatch):
 
 
 def test_test_py_export_rejects_runtime_tiers(tmp_path):
-    """--export + --int8/--fused-* must fail fast at parse time (the
-    artifact lowers the default XLA path; Pallas/int8 are runtime tiers),
-    BEFORE any model construction or checkpoint restore."""
-    proc = _run("test.py", "--export", str(tmp_path / "a.bin"), "--int8",
-                timeout=60)
+    """--export + --fused-* must fail fast at parse time (the artifact
+    lowers the XLA path; the Pallas kernels are runtime tiers), BEFORE
+    any model construction or checkpoint restore. (--int8 is allowed —
+    it exports the calibrated quantized program.)"""
+    proc = _run("test.py", "--export", str(tmp_path / "a.bin"),
+                "--fused-upsample", timeout=60)
     assert proc.returncode != 0
-    assert "--export lowers the default XLA serving path" in (
+    assert "--export lowers the XLA serving path" in (
         proc.stderr + proc.stdout)
 
 

@@ -90,3 +90,34 @@ def test_export_seed_changes_noise_deterministically(tmp_path, rng):
     a2 = np.asarray(served(tokens, lengths, seed=1))
     np.testing.assert_array_equal(a, a2)
     assert np.abs(a - b).max() > 1e-4
+
+
+def test_export_int8_matches_live_int8_sampler(tmp_path, rng):
+    """The int8 artifact must reproduce the live Int8Sampler exactly when
+    calibrated on the same batch (same scales -> same quantized program),
+    and still serve a symbolic batch."""
+    from attngan_tpu.infer.export import save_exported_int8_sampler
+    from attngan_tpu.infer.quantize import Int8Sampler
+
+    trainer, state = _trainer_and_state(num_stages=1)
+    calib_tokens, calib_lengths = _tokens(rng, 4)
+    path = str(tmp_path / "sampler_int8.stablehlo")
+    save_exported_int8_sampler(path, trainer, state, calib_tokens,
+                               calib_lengths, platforms=["cpu"],
+                               calib_seed=3)
+    served = ExportedSampler(path)
+
+    live = Int8Sampler(trainer, state)
+    live.calibrate_on(calib_tokens, calib_lengths,
+                      jax.random.key(np.uint32(3)))
+
+    tokens, lengths = _tokens(rng, 2)
+    out = served(tokens, lengths, seed=9)
+    want = live.generate_from_tokens(tokens, lengths,
+                                     jax.random.key(np.uint32(9)))
+    assert out.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-6, rtol=0)
+    # symbolic batch: a different request size through the same artifact
+    tokens5, lengths5 = _tokens(rng, 5)
+    assert served(tokens5, lengths5).shape == (5, 64, 64, 3)
