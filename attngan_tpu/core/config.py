@@ -9,6 +9,7 @@ reproduce those constants, and the root-level CLI shims expose them as flags.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -141,3 +142,15 @@ class RunConfig:
 def replace(cfg, **kw):
     """Functional update helper for frozen configs."""
     return dataclasses.replace(cfg, **kw)
+
+
+class Config:
+    """Default filesystem layout for the CLI entry points (reference
+    config.py:3-5 held two hardcoded Windows dataset paths; here the paths
+    are env-var-overridable defaults behind real CLI flags)."""
+
+    DATA_ROOT = os.environ.get("ATTNGAN_DATA_ROOT", "data/images")
+    CAPTIONS_JSON = os.environ.get(
+        "ATTNGAN_CAPTIONS", "data/captionsAndClassIDs.json")
+    CHECKPOINT_DIR = os.environ.get("ATTNGAN_CKPT_DIR", "checkpoints")
+    IMAGE_DIR = os.environ.get("ATTNGAN_IMAGE_DIR", "generated_images")

@@ -124,7 +124,7 @@ class Dataset:
     def __init__(self, rootdir: str = "", max_images: int = 99999,
                  flip_augment: bool = True, records: Optional[List[Record]] = None,
                  use_native_loader: bool = False):
-        # use_native_loader: the C++ thread-pool decoder (native/) pays off
+        # use_native_loader: the C++ thread-pool decoder (attngan_tpu/native/) pays off
         # on many-core hosts; on this 1-core dev box PIL's SIMD resampling
         # wins (measured 0.73x), so the default is off. Set True on real
         # data-loading hosts.

@@ -1,9 +1,11 @@
-"""ctypes bindings for the native C++ JPEG loader (native/jpeg_loader.cpp).
+"""ctypes bindings for the native C++ JPEG loader
+(attngan_tpu/native/jpeg_loader.cpp, shipped as package data).
 
 Builds the shared library on first use (g++ -O3, libjpeg) and caches it
-under native/build/. Falls back to the PIL path transparently when the
-toolchain or libjpeg is unavailable, or per-file when a decode fails
-(non-JPEG inputs, grayscale/CMYK exotica).
+next to the source — or, when the install location is read-only (a
+pip-installed site-packages), under ~/.cache/attngan-tpu/. Falls back to
+the PIL path transparently when the toolchain or libjpeg is unavailable,
+or per-file when a decode fails (non-JPEG inputs, grayscale/CMYK exotica).
 """
 
 from __future__ import annotations
@@ -16,10 +18,23 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "jpeg_loader.cpp")
-_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_PKG_ROOT, "native", "jpeg_loader.cpp")
+
+
+def _build_dir() -> str:
+    """In-tree build dir when writable, else a per-user cache dir."""
+    in_tree = os.path.join(_PKG_ROOT, "native", "build")
+    probe = os.path.dirname(in_tree)
+    if os.access(probe, os.W_OK):
+        return in_tree
+    return os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "attngan-tpu", "native_build")
+
+
+_BUILD_DIR = _build_dir()
 _LIB = os.path.join(_BUILD_DIR, "libjpeg_loader.so")
 
 _lock = threading.Lock()
