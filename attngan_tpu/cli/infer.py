@@ -133,9 +133,14 @@ def main():
         print(f"using model config recorded at training time: "
               f"{ {k: sidecar[k] for k in ('gf_dim', 'df_dim', 'emb_dim', 'num_stages', 'seq_len', 'image_encoder') if k in sidecar} }")
 
-    MODEL_FLAG_DEFAULTS = {"num_stages": 3, "gf_dim": 32, "df_dim": 64,
-                           "emb_dim": 256, "seq_len": 5,
-                           "image_encoder": "inception_v3"}
+    import dataclasses
+
+    # derived from GanConfig so the sidecar-absent fallback can never
+    # drift from the canonical defaults in core/config.py
+    MODEL_FLAG_DEFAULTS = {
+        f.name: f.default for f in dataclasses.fields(GanConfig)
+        if f.name in ("num_stages", "gf_dim", "df_dim", "emb_dim",
+                      "seq_len", "image_encoder")}
 
     def flag(name):
         """Explicit CLI flag > sidecar > reference default; an explicit flag
@@ -165,9 +170,11 @@ def main():
     trainer = GanTrainer(cfg, vocab_size=handler.vocab_size)
     ckpt = latest_checkpoint(args.checkpoint)
     if ckpt is None and os.path.isdir(args.checkpoint) and any(
-            name != "config.json" for name in os.listdir(args.checkpoint)):
-        # Direct path to one orbax step dir (a dir holding ONLY the config
-        # sidecar is not a checkpoint — fall through to random weights).
+            name not in ("config.json", "progress.json")
+            for name in os.listdir(args.checkpoint)):
+        # Direct path to one orbax step dir (a dir holding ONLY the
+        # config/progress sidecars is not a checkpoint — fall through to
+        # random weights instead of handing orbax a sidecar-only dir).
         ckpt = args.checkpoint
     if ckpt:
         # Serving restores ONLY the rnn/generator subtrees (~15% of the

@@ -21,25 +21,52 @@ def prefetch(iterator: Iterator, transform: Optional[Callable] = None,
     """Wrap ``iterator``, applying ``transform`` (e.g. Dataset.device_batch +
     shard_batch) in a background thread, keeping up to ``depth`` results in
     flight. Device puts are async in JAX, so enqueuing the transfer early
-    overlaps h2d DMA with the current step's compute."""
+    overlaps h2d DMA with the current step's compute.
+
+    Shutdown-safe: when the consumer stops early (break / generator close,
+    e.g. ``iter_attention_maps(limit=...)``), the worker is signalled and
+    exits instead of blocking forever on a full queue holding device
+    batches — otherwise every early exit leaked one thread plus up to
+    ``depth + 1`` in-flight batches for the process lifetime."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that aborts once the consumer has gone away
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(transform(item) if transform is not None else item)
+                if not _put(transform(item) if transform is not None
+                            else item):
+                    return
         except BaseException as e:  # surface worker errors in the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:  # unblock a worker mid-put by draining queued items
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

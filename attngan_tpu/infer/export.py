@@ -44,6 +44,21 @@ from jax import export as jax_export
 from attngan_tpu.infer.sampler import as_infer_state, _sample
 
 
+def _export_serving(serve, seq_len: int, platforms: Sequence[str],
+                    batch_size: int | None) -> jax_export.Exported:
+    """Shared ABI for every exported sampler tier: (tokens (b, L) i32,
+    lengths (b,) i32, seed () u32) with b symbolic when batch_size is None.
+    One definition so the float and int8 artifacts cannot diverge."""
+    if batch_size is None:
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = batch_size
+    args = (jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.uint32))
+    return jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+
+
 def export_sampler(trainer, state, platforms: Sequence[str] = ("tpu", "cpu"),
                    batch_size: int | None = None) -> jax_export.Exported:
     """Lower the serving function to a jax.export.Exported.
@@ -60,14 +75,7 @@ def export_sampler(trainer, state, platforms: Sequence[str] = ("tpu", "cpu"),
         key = jax.random.key(seed)
         return _sample(trainer, infer, tokens, lengths, key)
 
-    if batch_size is None:
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = batch_size
-    args = (jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
-            jax.ShapeDtypeStruct((b,), jnp.int32),
-            jax.ShapeDtypeStruct((), jnp.uint32))
-    return jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+    return _export_serving(serve, seq_len, platforms, batch_size)
 
 
 def save_exported_sampler(path: str, trainer, state,
@@ -107,14 +115,7 @@ def export_int8_sampler(trainer, state, calib_tokens, calib_lengths,
         key = jax.random.key(seed)
         return sampler._q_body(scales, infer, tokens, lengths, key)
 
-    if batch_size is None:
-        (b,) = jax_export.symbolic_shape("b")
-    else:
-        b = batch_size
-    args = (jax.ShapeDtypeStruct((b, seq_len), jnp.int32),
-            jax.ShapeDtypeStruct((b,), jnp.int32),
-            jax.ShapeDtypeStruct((), jnp.uint32))
-    return jax_export.export(jax.jit(serve), platforms=list(platforms))(*args)
+    return _export_serving(serve, seq_len, platforms, batch_size)
 
 
 def save_exported_int8_sampler(path: str, trainer, state, calib_tokens,

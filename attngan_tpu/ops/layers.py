@@ -281,7 +281,7 @@ class UpBlock(nn.Module):
         # 5.1 vs 2.7 at 32^2 where dispatch + small grids dominate)
         mode = self.fused_inference
         packed_ok = (x.shape[-1] * 2 == 128 and self.out_features * 4 == 128
-                     and x.shape[1] % 2 == 0)
+                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if mode == "packed64" and not (packed_ok and x.shape[1] == 64):
             mode = False        # hybrid: packed ONLY at the 64^2 tail,
             #                     measured-default dilated form elsewhere

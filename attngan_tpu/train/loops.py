@@ -179,7 +179,10 @@ def run_damsm_training(
                 print(f"epoch {epoch} step {len(history)} "
                       f"loss {history[-1]:.3f} "
                       f"({timer.steps_per_sec:.2f} steps/s)")
-        if epoch % run_cfg.checkpoint_every_epochs == 0:
+        # always snapshot the final epoch, even when epochs is not a
+        # multiple of checkpoint_every_epochs — otherwise the tail of the
+        # run trains and is silently discarded
+        if epoch % run_cfg.checkpoint_every_epochs == 0 or epoch == cfg.epochs:
             save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "damsm"),
                             jax.device_get(state), int(state.step), cfg,
                             epoch=epoch)
@@ -251,8 +254,9 @@ def run_gan_training(
                 head = {k: round(v[-1], 3) for k, v in losses.items()}
                 print(f"epoch {epoch} step {step_count} {head} "
                       f"({timer.steps_per_sec:.2f} steps/s)")
-        # per-epoch snapshot (reference train.py:154-162)
-        if epoch % run_cfg.checkpoint_every_epochs == 0:
+        # per-epoch snapshot (reference train.py:154-162); the final epoch
+        # always saves, even when epochs % checkpoint_every_epochs != 0
+        if epoch % run_cfg.checkpoint_every_epochs == 0 or epoch == cfg.epochs:
             save_checkpoint(os.path.join(run_cfg.checkpoint_dir, "gan"),
                             jax.device_get(state), int(state.step), cfg,
                             epoch=epoch)

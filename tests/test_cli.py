@@ -110,6 +110,25 @@ def test_test_py_sidecar_fills_unpassed_flags(tmp_path):
     assert result["value"] > 0
 
 
+@pytest.mark.slow
+def test_test_py_sidecar_only_dir_with_progress_falls_back(tmp_path):
+    """A checkpoint dir holding ONLY sidecars (config.json + progress.json,
+    step dirs deleted to reclaim disk) must fall back to random weights
+    with a warning — not hand orbax a sidecar-only dir and crash."""
+    import json
+
+    ck = _sidecar_ckpt(tmp_path)
+    (ck / "progress.json").write_text(json.dumps({"epoch": 3, "step": 42}))
+    proc = _run("test.py", "--captions-path", str(_caps_file(tmp_path)),
+                "--checkpoint", str(ck),
+                "--benchmark", "--batch-size", "8", "--compute-dtype", "",
+                timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "no checkpoint found" in proc.stdout + proc.stderr
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["value"] > 0
+
+
 def test_test_py_explicit_flag_sidecar_mismatch_fails_loudly(tmp_path):
     """An explicitly-passed dim contradicting the sidecar must fail with a
     message naming BOTH values (VERDICT r3 Weak #6), not silently prefer

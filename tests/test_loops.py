@@ -54,6 +54,27 @@ def test_damsm_resume_continues_epoch_numbering(tmp_path, run_cfg):
                                        "epoch_2-damsm_loss.png"))
 
 
+def test_final_epoch_always_checkpointed(tmp_path):
+    """epochs=3 with --checkpoint-every-epochs 2: without the final-epoch
+    save, epoch 3 trains and is silently discarded — the latest snapshot
+    must carry the full run's step count."""
+    from attngan_tpu.train.checkpoint import (latest_checkpoint,
+                                              load_progress_sidecar)
+
+    run_cfg = RunConfig(seed=0, checkpoint_dir=str(tmp_path / "ckpt"),
+                        image_dir=str(tmp_path / "img"), log_every=1000,
+                        checkpoint_every_epochs=2)
+    cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=4, epochs=3,
+                      image_encoder="tiny", compute_dtype="")
+    ds = make_synthetic_dataset(num_images=8, num_classes=2, res=64)
+    _, state, _ = run_damsm_training(cfg, run_cfg, ds)
+    damsm_dir = os.path.join(run_cfg.checkpoint_dir, "damsm")
+    ckpt = latest_checkpoint(damsm_dir)
+    assert ckpt is not None
+    assert int(os.path.basename(ckpt).split("_")[1]) == int(state.step)
+    assert load_progress_sidecar(damsm_dir) == 3
+
+
 def test_damsm_loop_cached_features(tmp_path, run_cfg):
     cfg = DamsmConfig(emb_dim=16, text_emb_dim=8, batch_size=4, epochs=1,
                       image_encoder="tiny", compute_dtype="",

@@ -94,3 +94,9 @@ def test_upblock_module_mode_routing(rng, monkeypatch):
     assert calls["packed"] == 3
     run(x64, True)
     assert calls["old"] == 1             # True keeps the original kernel
+
+    # odd WIDTH demotes to the dilated fallback instead of crashing in the
+    # kernel's even-dims precondition (the gate once checked only H)
+    x_odd_w = jnp.asarray(rng.standard_normal((1, 64, 63, 64)), jnp.float32)
+    run(x_odd_w, "packed")
+    assert calls["packed"] == 3          # unchanged: fell back, no kernel call

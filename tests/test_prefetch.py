@@ -26,6 +26,31 @@ def test_prefetch_overlaps_producer_latency():
     assert elapsed < 0.45, f"no overlap: {elapsed:.3f}s"
 
 
+def test_prefetch_early_exit_stops_worker():
+    """Abandoning the generator (e.g. iter_attention_maps(limit=...)) must
+    terminate the worker thread instead of leaving it blocked on q.put
+    holding device batches for the process lifetime."""
+    import threading
+
+    produced = []
+
+    def source():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch(source(), depth=2)
+    assert next(it) == 0
+    it.close()  # early exit: consumer walks away after one item
+    deadline = time.perf_counter() + 5.0
+    while threading.active_count() > before and time.perf_counter() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    # the worker stopped near where the consumer did, not at exhaustion
+    assert len(produced) < 20
+
+
 def test_prefetch_propagates_worker_errors():
     def bad_source():
         yield 1
