@@ -133,14 +133,15 @@ def main():
         print(f"using model config recorded at training time: "
               f"{ {k: sidecar[k] for k in ('gf_dim', 'df_dim', 'emb_dim', 'num_stages', 'seq_len', 'image_encoder') if k in sidecar} }")
 
-    import dataclasses
-
-    # derived from GanConfig so the sidecar-absent fallback can never
-    # drift from the canonical defaults in core/config.py
+    # derived from a constructed GanConfig so the sidecar-absent fallback can
+    # never drift from the canonical defaults in core/config.py (and stays
+    # correct if a field ever switches to default_factory, where
+    # dataclasses.fields(...)[i].default would be MISSING)
+    _defaults = GanConfig()
     MODEL_FLAG_DEFAULTS = {
-        f.name: f.default for f in dataclasses.fields(GanConfig)
-        if f.name in ("num_stages", "gf_dim", "df_dim", "emb_dim",
-                      "seq_len", "image_encoder")}
+        name: getattr(_defaults, name)
+        for name in ("num_stages", "gf_dim", "df_dim", "emb_dim",
+                     "seq_len", "image_encoder")}
 
     def flag(name):
         """Explicit CLI flag > sidecar > reference default; an explicit flag

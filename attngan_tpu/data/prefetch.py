@@ -48,6 +48,11 @@ def prefetch(iterator: Iterator, transform: Optional[Callable] = None,
                 if not _put(transform(item) if transform is not None
                             else item):
                     return
+                if stop.is_set():
+                    # consumer went away while the put was in flight: drop
+                    # out now instead of leaving one more (possibly
+                    # device-resident) batch referenced by the queue
+                    return
         except BaseException as e:  # surface worker errors in the consumer
             err.append(e)
         finally:
@@ -70,3 +75,11 @@ def prefetch(iterator: Iterator, transform: Optional[Callable] = None,
                 q.get_nowait()
         except queue.Empty:
             pass
+        if err:
+            # the consumer closed early AND the worker had already failed:
+            # don't let the pipeline error vanish with the generator
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "prefetch worker failed but the consumer exited early; "
+                "suppressed error was: %r", err[0])

