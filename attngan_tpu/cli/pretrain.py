@@ -28,6 +28,13 @@ def parse_args():
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic images instead of --data-root")
     p.add_argument("--max-images", type=int, default=99999)
+    p.add_argument("--stream", action="store_true",
+                   help="bounded-memory streaming loader: decode batches on "
+                        "demand (native C++ thread-pool decoder, overlapped "
+                        "with training via prefetch) instead of eagerly "
+                        "holding the whole corpus in host RAM — required "
+                        "for LSUN-scale corpora; auto-enabled above "
+                        "50k records")
     p.add_argument("--captions-path", default=Config.CAPTIONS_JSON)
     p.add_argument("--cluster", action="store_true",
                    help="run the clustering captioner (else load captions JSON)")
@@ -96,14 +103,20 @@ def main():
     enable_persistent_compilation_cache()
     from attngan_tpu.core.config import DamsmConfig, RunConfig
     from attngan_tpu.data.synthetic import make_synthetic_dataset
-    from attngan_tpu.data.dataset import Dataset
+    from attngan_tpu.data.streaming import open_dataset
     from attngan_tpu.train.loops import run_damsm_training
 
+    if args.stream and args.cache_features:
+        raise SystemExit(
+            "--stream and --cache-features are incompatible: the feature "
+            "cache holds ~300 KB/image in host RAM, which defeats the "
+            "streaming loader's bounded-memory guarantee; drop one")
     if args.synthetic:
         dataset = make_synthetic_dataset(args.synthetic,
                                          with_captions=not args.cluster)
     else:
-        dataset = Dataset(args.data_root, max_images=args.max_images)
+        dataset = open_dataset(args.data_root, max_images=args.max_images,
+                               stream=args.stream)
 
     if args.cluster:
         from attngan_tpu.data.clusterer import HierarchicalClusterer

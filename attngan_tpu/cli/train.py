@@ -26,6 +26,11 @@ def parse_args():
     p.add_argument("--data-root", default=Config.DATA_ROOT)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--max-images", type=int, default=99999)
+    p.add_argument("--stream", action="store_true",
+                   help="bounded-memory streaming loader: decode batches on "
+                        "demand instead of eagerly holding the whole corpus "
+                        "in host RAM — required for LSUN-scale corpora; "
+                        "auto-enabled above 50k records")
     p.add_argument("--captions-path", default=Config.CAPTIONS_JSON)
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch-size", type=int, default=16)
@@ -86,14 +91,15 @@ def main():
 
     enable_persistent_compilation_cache()
     from attngan_tpu.core.config import GanConfig, RunConfig
-    from attngan_tpu.data.dataset import Dataset
+    from attngan_tpu.data.streaming import open_dataset
     from attngan_tpu.data.synthetic import make_synthetic_dataset
     from attngan_tpu.train.loops import run_gan_training
 
     if args.synthetic:
         dataset = make_synthetic_dataset(args.synthetic)
     else:
-        dataset = Dataset(args.data_root, max_images=args.max_images)
+        dataset = open_dataset(args.data_root, max_images=args.max_images,
+                               stream=args.stream)
         dataset.load_captions_and_class_ids(args.captions_path)
     dataset.build_vocab()
 

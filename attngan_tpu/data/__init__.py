@@ -13,12 +13,14 @@ from attngan_tpu.data.dataset import (
     scan_image_paths,
     word_mask,
 )
+from attngan_tpu.data.streaming import StreamingDataset, open_dataset
 from attngan_tpu.data.synthetic import make_synthetic_dataset
 from attngan_tpu.data.vocab import Vocab
 
 __all__ = [
-    "CaptionHandler", "Dataset", "HierarchicalClusterer", "Record", "Vocab",
-    "csv_caption_dataset", "decode_image", "determine_k_values",
-    "folder_caption_dataset", "make_synthetic_dataset", "preprocess_pyramid",
-    "scan_image_paths", "tokenize_caption", "word_mask",
+    "CaptionHandler", "Dataset", "HierarchicalClusterer", "Record",
+    "StreamingDataset", "Vocab", "csv_caption_dataset", "decode_image",
+    "determine_k_values", "folder_caption_dataset", "make_synthetic_dataset",
+    "open_dataset", "preprocess_pyramid", "scan_image_paths",
+    "tokenize_caption", "word_mask",
 ]

@@ -129,7 +129,9 @@ class HierarchicalClusterer:
         recs = dataset.records
         for start in range(0, len(recs), batch_size):
             chunk = recs[start : start + batch_size]
-            pixels = np.stack([r.pixels for r in chunk])
+            # _batch_pixels: streams decode-on-demand for StreamingDataset,
+            # so the captioner runs at corpus scale in bounded host memory
+            pixels = dataset._batch_pixels(chunk)
             flip = np.asarray([r.flip for r in chunk], bool)
             img256 = preprocess_pyramid(jnp.asarray(pixels), jnp.asarray(flip))[256]
             embs.append(self.embedder.embed(np.asarray(img256), batch_size))

@@ -142,6 +142,21 @@ class Dataset:
     def __len__(self) -> int:
         return len(self.records)
 
+    # ----- pixel access (overridden by data/streaming.py) -----
+    #
+    # Everything that touches pixels goes through these two hooks, so the
+    # bounded-memory StreamingDataset can swap decode-on-demand in under the
+    # SAME batching/vocab/caption semantics (identical batches for the same
+    # seed — tested in tests/test_streaming.py).
+
+    def _record_pixels(self, record: "Record") -> np.ndarray:
+        """(256, 256, 3) uint8 pre-flip pixels of one record."""
+        return record.pixels
+
+    def _batch_pixels(self, records: List["Record"]) -> np.ndarray:
+        """(N, 256, 256, 3) uint8 pre-flip pixels of a batch of records."""
+        return np.stack([self._record_pixels(r) for r in records])
+
     @property
     def max_seqlen(self) -> int:
         return max((len(r.caption) for r in self.records), default=0)
@@ -200,7 +215,7 @@ class Dataset:
                     [r.class_id if r.class_id is not None else 0 for r in recs],
                     np.int32,
                 ),
-                "pixels": np.stack([r.pixels for r in recs]),
+                "pixels": self._batch_pixels(recs),
                 "flip": np.asarray([r.flip for r in recs], bool),
             }
 
@@ -225,7 +240,7 @@ class Dataset:
             chosen = list(members)
             rng.shuffle(chosen)
             chosen = chosen[:max_images]
-            imgs = np.stack([r.pixels for r in chosen]).astype(np.float32) / 255.0
+            imgs = self._batch_pixels(chosen).astype(np.float32) / 255.0
             os.makedirs(folder, exist_ok=True)
             save_image(image_grid(imgs, nrow=nrow),
                        os.path.join(folder, f"k-{k_value}.png"))

@@ -245,7 +245,7 @@ class DamsmTrainer:
         n = len(dataset.records)
         for start in range(0, n, batch_size):
             recs = dataset.records[start : start + batch_size]
-            pixels = np.stack([r.pixels for r in recs])
+            pixels = dataset._batch_pixels(recs)
             flip = np.asarray([r.flip for r in recs], bool)
             pad = batch_size - len(recs)
             if pad:

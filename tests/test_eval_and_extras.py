@@ -119,16 +119,33 @@ def test_fid_decreases_with_gan_training(rng):
     ev = FIDEvaluator(feature_fn=feature_fn, batch_size=16)
 
     def fid_of(st):
-        imgs = np.asarray(Sampler(trainer, st).generate_from_tokens(
-            tokens, lengths, jax.random.key(7)))
-        return ev.fid(real, imgs.astype(np.float32) * 2.0 - 1.0)
+        # mean over independent sampling seeds, same protocol as
+        # tools/fid_curve.py --seeds (VERDICT r4 Weak #5: single-seed FID
+        # points can't rank checkpoints)
+        sampler = Sampler(trainer, st)
+        fids = []
+        for seed in (7, 8, 9):
+            imgs = np.asarray(sampler.generate_from_tokens(
+                tokens, lengths, jax.random.key(seed)))
+            fids.append(ev.fid(real, imgs.astype(np.float32) * 2.0 - 1.0))
+        return float(np.mean(fids)), float(np.std(fids))
 
+    mids = []
     for epoch in range(10):              # 20 steps (2 full batches/epoch)
         for b in ds.iter_batches(8, ds.max_seqlen, seed=epoch):
             if b["tokens"].shape[0] == 8:
                 state, _ = trainer.train_step(state, ds.device_batch(b))
-    early, late = fid_of(state0), fid_of(state)
+        if epoch == 4:
+            mids.append(fid_of(state))
+    (early, early_sd), (late, late_sd) = fid_of(state0), fid_of(state)
+    (mid, _), = mids
+    # monotone on MEANS across init -> mid -> trained, and the improvement
+    # must clear the seed noise (means separated by > combined std)
+    assert early > mid > late, f"not monotone on means: {early}, {mid}, {late}"
     assert late < 0.9 * early, f"FID did not decrease: {early} -> {late}"
+    assert (early - late) > (early_sd + late_sd), (
+        f"improvement {early - late:.4f} within seed noise "
+        f"{early_sd + late_sd:.4f}")
 
 
 def test_int8_vs_bf16_fid_harness(rng):

@@ -35,10 +35,16 @@ def parse_args():
     p.add_argument("--captions-path", required=True)
     p.add_argument("--data-root", required=True,
                    help="real image directory (the training corpus)")
-    p.add_argument("--n", type=int, default=256, help="generated images")
+    p.add_argument("--n", type=int, default=256,
+                   help="generated images per sampling seed")
     p.add_argument("--max-real", type=int, default=768)
     p.add_argument("--feature-batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", type=int, default=3,
+                   help="independent sampling seeds per checkpoint; the "
+                        "curve reports mean +/- spread over them (VERDICT "
+                        "r4 Weak #5: a single-seed point can't rank "
+                        "adjacent checkpoints)")
     p.add_argument("--out", default="fid_curve")
     return p.parse_args()
 
@@ -83,7 +89,7 @@ def main():
         captions.append(captions[len(captions) % max(len(names), 1)])
     tokens, lengths = handler.preprocess(captions, max_seqlen=cfg.seq_len)
     tokens, lengths = jnp.asarray(tokens), jnp.asarray(lengths)
-    key = jax.random.key(args.seed)
+    keys = [jax.random.key(args.seed + s) for s in range(args.seeds)]
 
     # Real statistics, computed once.
     ds = Dataset(args.data_root, max_images=args.max_real)
@@ -103,16 +109,25 @@ def main():
         state = as_infer_state(jax.device_put(
             restore_inference_state(path, abstract)))
         sampler.state = state
-        fakes = np.asarray(sampler.generate_from_tokens(tokens, lengths, key))
-        fakes = fakes.astype(np.float32) * 2.0 - 1.0   # [0,1] -> trunk domain
-        mu_f, sig_f = activation_statistics(ev.features(fakes))
-        fid = frechet_distance(mu_r, sig_r, mu_f, sig_f)
+        fids = []
+        for key in keys:   # independent noise draws, same captions + params
+            fakes = np.asarray(
+                sampler.generate_from_tokens(tokens, lengths, key))
+            fakes = fakes.astype(np.float32) * 2.0 - 1.0  # -> trunk domain
+            mu_f, sig_f = activation_statistics(ev.features(fakes))
+            fids.append(frechet_distance(mu_r, sig_r, mu_f, sig_f))
         step = int(os.path.basename(path).split("_")[1])
-        curve.append({"step": step, "fid": round(fid, 4)})
+        curve.append({
+            "step": step,
+            "fid": round(float(np.mean(fids)), 4),
+            "fid_std": round(float(np.std(fids)), 4),
+            "fid_seeds": [round(float(f), 4) for f in fids],
+        })
         print(json.dumps(curve[-1]), flush=True)
 
     os.makedirs(args.out, exist_ok=True)
     summary = {"checkpoint": args.checkpoint, "n_fake": int(tokens.shape[0]),
+               "n_seeds": args.seeds,
                "n_real": int(real256.shape[0]), "resolution": res,
                "units": "calibrated-random-feature (standard units need "
                         "converted torchvision weights)",
@@ -127,11 +142,14 @@ def main():
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(6, 4))
-        ax.plot([c["step"] for c in curve], [c["fid"] for c in curve],
-                marker="o")
+        xs = [c["step"] for c in curve]
+        ax.errorbar(xs, [c["fid"] for c in curve],
+                    yerr=[c.get("fid_std", 0.0) for c in curve],
+                    marker="o", capsize=3)
         ax.set_xlabel("training step")
         ax.set_ylabel("FID (calibrated-random-feature units)")
-        ax.set_title("FID vs training step")
+        ax.set_title(f"FID vs training step (mean +/- std, "
+                     f"{args.seeds} seeds)")
         fig.tight_layout()
         fig.savefig(os.path.join(args.out, "fid_curve.png"), dpi=120)
     except ImportError:
