@@ -88,6 +88,8 @@ def parse_args():
                    help="reproduce the reference quirk: frozen Inception "
                         "trunk runs with train-mode BatchNorm (the reference "
                         "never calls eval() on it, pretrain_damsm.py:59-73)")
+    p.add_argument("--log-every", type=int, default=50,
+                   help="print loss + steps/s every N steps")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 2-7")
     p.add_argument("--mesh-shape", type=int, nargs="*", default=[],
@@ -147,6 +149,7 @@ def main():
                       superbatch=args.superbatch,
                       trunk_train_mode_bn=args.trunk_train_mode_bn)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
+                        log_every=args.log_every,
                         image_dir=args.image_dir, profile=args.profile,
                         checkpoint_every_epochs=args.checkpoint_every_epochs,
                         mesh_shape=tuple(args.mesh_shape))

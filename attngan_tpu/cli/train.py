@@ -60,6 +60,8 @@ def parse_args():
                         "(each save is a separate step_* dir — raise N on "
                         "long runs to bound disk)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50,
+                   help="print loss + steps/s every N steps")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of steps 2-7")
     p.add_argument("--mesh-shape", type=int, nargs="*", default=[],
@@ -111,6 +113,7 @@ def main():
                     image_encoder=args.image_encoder,
                     compute_dtype=args.compute_dtype)
     run_cfg = RunConfig(seed=args.seed, checkpoint_dir=args.checkpoint_dir,
+                        log_every=args.log_every,
                         image_dir=args.image_dir, profile=args.profile,
                         checkpoint_every_epochs=args.checkpoint_every_epochs,
                         mesh_shape=tuple(args.mesh_shape))
