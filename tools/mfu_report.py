@@ -15,8 +15,11 @@ Usage: python tools/mfu_report.py [sampler] [damsm] [gan]   (default: all)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _median(xs):
@@ -62,7 +65,10 @@ def bench_sampler():
     trainer = GanTrainer(cfg, vocab_size=vocab)
     with jax.default_device(jax.devices("cpu")[0]):
         state = trainer.init_state(seed=0)
-    state = jax.device_put(state)
+    # init_state ran CPU-committed (eager flax init through the remote
+    # tunnel is pathological); device_put with NO target is a no-op for
+    # committed arrays, so pin the default (accelerator) device explicitly.
+    state = jax.device_put(state, jax.devices()[0])
     sampler = Sampler(trainer, state)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, vocab, (batch, cfg.seq_len)),
@@ -100,7 +106,10 @@ def bench_damsm():
     trainer = DamsmTrainer(cfg, vocab_size=vocab, seq_len=L)
     with jax.default_device(jax.devices("cpu")[0]):
         state = trainer.init_state(seed=0)
-    state = jax.device_put(state)
+    # init_state ran CPU-committed (eager flax init through the remote
+    # tunnel is pathological); device_put with NO target is a no-op for
+    # committed arrays, so pin the default (accelerator) device explicitly.
+    state = jax.device_put(state, jax.devices()[0])
     rng = np.random.default_rng(0)
     b = cfg.batch_size
     batch = {
@@ -141,7 +150,10 @@ def bench_gan():
     trainer = GanTrainer(cfg, vocab_size=vocab)
     with jax.default_device(jax.devices("cpu")[0]):
         state = trainer.init_state(seed=0)
-    state = jax.device_put(state)
+    # init_state ran CPU-committed (eager flax init through the remote
+    # tunnel is pathological); device_put with NO target is a no-op for
+    # committed arrays, so pin the default (accelerator) device explicitly.
+    state = jax.device_put(state, jax.devices()[0])
     rng = np.random.default_rng(0)
     b, L = cfg.batch_size, cfg.seq_len
     batch = {
