@@ -70,7 +70,12 @@ def main():
     with jax.default_device(jax.devices("cpu")[0]):
         template = trainer.init_state(seed=0)
     ckpt = latest_checkpoint(args.checkpoint) or args.checkpoint
-    state = jax.device_put(restore_checkpoint(ckpt, template))
+    # template is CPU-committed (eager init through the remote tunnel is
+    # pathological) and restore follows it; a no-target device_put is a
+    # no-op for committed arrays, so pin the accelerator explicitly —
+    # otherwise the jit (and its Pallas words-loss kernel) lowers for CPU.
+    state = jax.device_put(restore_checkpoint(ckpt, template),
+                           jax.devices()[0])
 
     @jax.jit
     def losses_with_and_without_mask(state, batch):
